@@ -1,0 +1,118 @@
+"""Solver configuration dataclasses.
+
+The reference duplicates every iLEQG hyperparameter into each outer solver
+struct (``cross_entropy_bilevel_optimization.jl:72-81``,
+``nelder_mead_bilevel_optimization.jl:73-82``).  Here configs *compose*: the
+outer solvers embed an ``ILEQGConfig`` (SURVEY.md §5 config note).
+
+All configs are frozen/hashable so they can be passed as static jit
+arguments; defaults match the reference's validated constructor defaults
+(``ileqg.jl:191-208``, ``cross_entropy_bilevel_optimization.jl:100-127``,
+``nelder_mead_bilevel_optimization.jl:102-128``, ``pets.jl:52-68``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+def _check(cond: bool, msg: str):
+    if not cond:
+        raise ValueError(msg)
+
+
+@dataclasses.dataclass(frozen=True)
+class ILEQGConfig:
+    """iLQG/iLEQG solver parameters (``ileqg.jl:191-208``).
+
+    Attributes:
+      mu_min: minimum Hessian regularization μ (> 0).
+      delta_0: minimum multiplicative modification factor Δ₀ (> 0) for μ.
+      lam: line-search step shrink factor λ ∈ (0, 1).
+      d_tol: convergence threshold on max ‖Δl_t‖₂ (> 0).
+      iter_max: maximum iLEQG iterations.
+      eps_init: initial line-search step ε ∈ (ε_min, 1].
+      adaptive_eps_init: warm-start ε_init from the previous iteration
+        (``ileqg.jl:582-591``).
+      eps_min: minimum line-search step; reaching it accepts the candidate
+        unconditionally (``ileqg.jl:558-575``).
+      ls_max_trials: hard cap on line-search trials per iteration.  The
+        reference's DP-failure retry path (``ileqg.jl:529-535``) has no
+        bound; lanes exhausting this cap are declared failed (cost = Inf).
+      eps_history_cap: static length of the (ε, Δvalue) diagnostics ring
+        buffer replacing the reference's growing ``ϵ_history``
+        (``ileqg.jl:187,537``).
+    """
+    mu_min: float = 1e-6
+    delta_0: float = 2.0
+    lam: float = 0.5
+    d_tol: float = 1e-2
+    iter_max: int = 100
+    eps_init: float = 1.0
+    adaptive_eps_init: bool = False
+    eps_min: float = 1e-6
+    ls_max_trials: int = 64
+    eps_history_cap: int = 256
+
+    def __post_init__(self):
+        _check(0 < self.lam < 1, "lam must be in (0, 1)")
+        _check(self.d_tol > 0, "d_tol > 0 is necessary")
+        _check(self.mu_min > 0, "mu_min > 0 is necessary")
+        _check(self.delta_0 > 0, "delta_0 > 0 is necessary")
+        _check(0 < self.eps_init <= 1, "eps_init must be in (0, 1]")
+        _check(self.eps_init > self.eps_min, "eps_init > eps_min is necessary")
+        _check(0 < self.eps_min < 1, "eps_min must be in (0, 1)")
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEntropyConfig:
+    """RAT iLQR outer Cross-Entropy parameters
+    (``cross_entropy_bilevel_optimization.jl:84-127``).
+
+    ``mu_init``/``sigma_init`` live in the *state* (they adapt across MPC
+    re-plans, ``cross_entropy_bilevel_optimization.jl:66-68``), not here;
+    only their initial values are configured.
+    """
+    num_samples: int = 10
+    num_elite: int = 3
+    iter_max: int = 5
+    lam: float = 0.5
+    use_theta_max: bool = False
+    mu_init: float = 1.0
+    sigma_init: float = 2.0
+    ileqg: ILEQGConfig = ILEQGConfig()
+
+    def __post_init__(self):
+        _check(0 < self.lam < 1, "lam must be in (0, 1)")
+        _check(self.num_elite <= self.num_samples,
+               "num_elite must be <= num_samples")
+
+
+@dataclasses.dataclass(frozen=True)
+class NelderMeadConfig:
+    """RAT iLQR++ outer Nelder-Mead parameters
+    (``nelder_mead_bilevel_optimization.jl:85-128``)."""
+    alpha: float = 1.0    # reflection
+    beta: float = 2.0     # expansion
+    gamma: float = 0.5    # contraction
+    eps: float = 1e-2     # convergence on vertex-cost stdev
+    lam: float = 0.5      # feasibility-bootstrap shrink factor
+    iter_max: int = 100
+    theta_high_init: float = 3.0
+    theta_low_init: float = 1e-8
+    ileqg: ILEQGConfig = ILEQGConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class PETSConfig:
+    """PETS (CEM-over-control-sequences) parameters (``pets.jl:35-68``)."""
+    num_control_samples: int = 10
+    num_trajectory_samples: int = 10
+    num_elite: int = 3
+    iter_max: int = 5
+    smoothing_factor: float = 0.1
+
+    def __post_init__(self):
+        _check(0.0 <= self.smoothing_factor <= 1.0,
+               "smoothing_factor must be in [0, 1]")
+        _check(self.num_elite <= self.num_control_samples,
+               "num_elite must be <= num_control_samples")

@@ -1,0 +1,88 @@
+"""Example problems mirroring the reference's doc/test fixtures.
+
+These are the analytic fixtures the reference uses throughout its docs and
+test suite (SURVEY.md §4): the 2-D single integrator
+(``docs/source/getting-started.md:52-62``), a quadratic LQR problem
+(``test/ileqg_test.jl:68-69``), the nonlinear ``x^1.3 + u^1.5`` toy
+(``test/ileqg_test.jl:151-155``) and the Gaussian-vs-GMM generative
+integrator (``optimal_control_problems.jl:102-116``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ratilqr_tpu.problems import GenerativeProblem, RiskSensitiveProblem
+
+
+def double_integrator(N: int = 10, noise: float = 0.1,
+                      dtype=jnp.float64) -> RiskSensitiveProblem:
+    """2-D single integrator with time-weighted quadratic costs
+    (``docs/source/getting-started.md:52-62``)."""
+    eye = jnp.eye(2, dtype=dtype)
+
+    return RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: k / 2.0 * (x @ x) + k / 2.0 * (u @ u),
+        h=lambda x: N / 2.0 * (x @ x),
+        W=lambda k: noise * eye,
+        N=N,
+        f_jac=lambda x, u: (x + u, eye, eye),
+    )
+
+
+def lqr_problem(N: int = 10, noise: float = 1.0,
+                dtype=jnp.float64) -> RiskSensitiveProblem:
+    """Linear dynamics + time-invariant quadratic costs — the fixture whose
+    iLQG gains must equal the textbook LQR Riccati solution
+    (``test/ileqg_test.jl:68-69,87-106``)."""
+    eye = jnp.eye(2, dtype=dtype)
+    return RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: 0.5 * (x @ x) + 1.0 * (u @ u),
+        h=lambda x: 0.5 * (x @ x),
+        W=lambda k: noise * eye,
+        N=N,
+    )
+
+
+def nonlinear_toy(N: int = 10, noise: float = 0.01,
+                  dtype=jnp.float64) -> RiskSensitiveProblem:
+    """Nonlinear smoke-test fixture ``f = x^1.3 + u^1.5``,
+    ``c = Σ(x^2.5 + u^2.5)`` (``test/ileqg_test.jl:151-155``).  Only valid
+    for non-negative states/controls (fractional powers), as in the
+    reference test."""
+    eye = jnp.eye(2, dtype=dtype)
+    return RiskSensitiveProblem(
+        f=lambda x, u: x ** 1.3 + u ** 1.5,
+        c=lambda k, x, u: jnp.sum(x ** 2.5 + u ** 2.5),
+        h=lambda x: jnp.asarray(1.0, dtype),
+        W=lambda k: noise * eye,
+        N=N,
+    )
+
+
+def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:
+    """Generative 2-D integrator with model mismatch
+    (``optimal_control_problems.jl:102-116``): the solver's internal model is
+    a Gaussian ``N(0, 0.5I)`` while the true simulator is the GMM
+    ``0.5·N(0, 0.5I) + 0.5·N(1, I)``.  ``use_true_model`` switches between
+    them (static, so each variant compiles separately)."""
+
+    def f_stochastic(x, u, key, use_true_model=False):
+        k1, k2 = jax.random.split(key)
+        z = jax.random.normal(k1, x.shape, dtype=x.dtype)
+        if use_true_model:
+            pick = jax.random.bernoulli(k2, 0.5)
+            w = jnp.where(pick, jnp.ones_like(x) + z,
+                          jnp.sqrt(0.5).astype(x.dtype) * z)
+        else:
+            w = jnp.sqrt(0.5).astype(x.dtype) * z
+        return x + u + w
+
+    return GenerativeProblem(
+        f_stochastic=f_stochastic,
+        c=lambda k, x, u: k / 2.0 * (x @ x) + k / 2.0 * (u @ u),
+        h=lambda x: N / 2.0 * (x @ x),
+        N=N,
+    )

@@ -1,0 +1,119 @@
+"""Model approximation: linearize dynamics, quadratize costs.
+
+TPU-native counterpart of ``approximate_model`` / ``ApproximationResult``
+(``/root/reference/src/ileqg.jl:242-322``).
+
+The reference runs a serial per-timestep loop of ForwardDiff closures (with a
+commented-out ``Threads.@threads`` at ``ileqg.jl:293`` noting the loop is
+embarrassingly parallel).  Here the whole stack of derivatives is one
+``vmap`` over the time axis of ``jax.jacfwd`` / ``jax.grad`` /
+``jax.hessian`` — a single fused batched computation.
+
+As a TPU-side extension we also precompute ``W⁻¹`` and ``logdet W`` per
+timestep (via Cholesky) since the Riccati recursion needs them every backward
+step (``ileqg.jl:365,387``) and they are loop-invariant.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ratilqr_tpu.problems import RiskSensitiveProblem
+
+Array = jnp.ndarray
+
+
+class Approximation(NamedTuple):
+    """Batched-over-time Taylor approximation around a nominal trajectory.
+
+    Counterpart of ``ApproximationResult`` (``ileqg.jl:242-252``), with the
+    terminal entries split out (the reference appends them as index ``N+1``,
+    ``ileqg.jl:314-316``) and stacked arrays instead of vectors-of-matrices.
+    """
+    q: Array          # (N,)      stage cost  c(k, x̄, ū)
+    q_vec: Array      # (N, n)    c_x
+    Q: Array          # (N, n, n) c_xx (symmetrized)
+    r: Array          # (N, m)    c_u
+    R: Array          # (N, m, m) c_uu (symmetrized)
+    P: Array          # (N, m, n) c_ux
+    A: Array          # (N, n, n) f_x
+    B: Array          # (N, n, m) f_u
+    W: Array          # (N, n, n) noise covariance
+    W_inv: Array      # (N, n, n) precomputed W⁻¹
+    logdet_W: Array   # (N,)      precomputed log det W
+    q_term: Array     # ()        h(x̄_N)
+    q_vec_term: Array  # (n,)     h_x
+    Q_term: Array     # (n, n)    h_xx (symmetrized)
+
+    @property
+    def N(self) -> int:
+        return self.q.shape[0]
+
+
+def _sym(M: Array) -> Array:
+    """Symmetrize — counterpart of the reference's ``Symmetric`` wrapping of
+    AD Hessians (``ileqg.jl:270-273``)."""
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def approximate_model(problem: RiskSensitiveProblem, u_traj: Array,
+                      x_traj: Array, A: Optional[Array] = None,
+                      B: Optional[Array] = None) -> Approximation:
+    """Build the time-batched linear-quadratic approximation.
+
+    Counterpart of ``approximate_model`` (``ileqg.jl:258-322``).  ``A``/``B``
+    may be passed precomputed (the reference's ``A_array_input`` fast path,
+    ``ileqg.jl:261-262,302-311``) to skip dynamics AD.
+
+    Args:
+      u_traj: ``(N, m)`` nominal controls.
+      x_traj: ``(N+1, n)`` nominal states.
+    """
+    f, c, h, W = problem.f, problem.c, problem.h, problem.W
+    N = u_traj.shape[0]
+    ks = jnp.arange(N)
+    xs, us = x_traj[:-1], u_traj
+
+    # Cost quadratization, vmapped over time (replaces the per-step
+    # ForwardDiff closures at ileqg.jl:265-273).
+    def stage(k, x, u):
+        q = c(k, x, u)
+        q_vec = jax.grad(c, argnums=1)(k, x, u)
+        Qm = _sym(jax.hessian(c, argnums=1)(k, x, u))
+        r = jax.grad(c, argnums=2)(k, x, u)
+        Rm = _sym(jax.hessian(c, argnums=2)(k, x, u))
+        # P = c_ux = d/dx (c_u)   (m, n)  — matches cux at ileqg.jl:269.
+        Pm = jax.jacfwd(jax.grad(c, argnums=2), argnums=1)(k, x, u)
+        return q, q_vec, Qm, r, Rm, Pm
+
+    q, q_vec, Q, r, R, P = jax.vmap(stage)(ks, xs, us)
+
+    if A is None or B is None:
+        if problem.has_jacobian:
+            def dyn_jac(x, u):
+                _, Am, Bm = problem.f_jac(x, u)
+                return Am, Bm
+        else:
+            def dyn_jac(x, u):
+                return (jax.jacfwd(f, argnums=0)(x, u),
+                        jax.jacfwd(f, argnums=1)(x, u))
+        A, B = jax.vmap(dyn_jac)(xs, us)
+
+    Wm = jax.vmap(W)(ks)
+    # Loop-invariant W factorization for the Riccati backward pass.
+    W_chol = jnp.linalg.cholesky(Wm)
+    eye_n = jnp.eye(Wm.shape[-1], dtype=Wm.dtype)
+    W_inv = jax.vmap(
+        lambda Lc: jax.scipy.linalg.cho_solve((Lc, True), eye_n))(W_chol)
+    logdet_W = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(W_chol, axis1=-2, axis2=-1)), axis=-1)
+
+    q_term = h(x_traj[-1])
+    q_vec_term = jax.grad(h)(x_traj[-1])
+    Q_term = _sym(jax.hessian(h)(x_traj[-1]))
+
+    return Approximation(q=q, q_vec=q_vec, Q=Q, r=r, R=R, P=P, A=A, B=B,
+                         W=Wm, W_inv=W_inv, logdet_W=logdet_W, q_term=q_term,
+                         q_vec_term=q_vec_term, Q_term=Q_term)

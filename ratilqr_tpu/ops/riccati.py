@@ -1,0 +1,240 @@
+"""Risk-sensitive Riccati dynamic programming (the numerical heart).
+
+TPU-native counterpart of ``solve_approximate_dp!`` / ``solve_approximate_dp``
+and the μ/Δ regularization schedule
+(``/root/reference/src/ileqg.jl:328-488``).
+
+Design (SURVEY.md §7 principles 3-4):
+  - The backward recursion is a single ``lax.scan`` (reverse over time).
+  - Every PSD assert in the reference (``ileqg.jl:366,372,440``) becomes a
+    Cholesky-failure *flag* latched through the scan — exceptions become
+    masks, so ``vmap`` banks of solves work unmodified and infeasible lanes
+    surface as ``cost = Inf`` downstream exactly like the reference's
+    catch-to-Inf (``cross_entropy_bilevel_optimization.jl:161-166``).
+  - The μ-restart loop (``ileqg.jl:358-401``: restart the whole backward pass
+    with larger μ whenever some ``H_t`` is not PSD) becomes a bounded
+    ``lax.while_loop`` around the scan.
+
+Failure semantics mirror the reference's scan order exactly: walking backward
+from ``t = N-1``, the *first* failed check decides the outcome — a non-PSD
+``M = W⁻¹ − θS`` is a terminal "neurotic breakdown" (reference: assert/throw),
+while a non-PSD ``H`` triggers ``increase_μ_and_Δ!`` and a full restart.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ratilqr_tpu.ops.approx import Approximation, _sym
+
+Array = jnp.ndarray
+
+# Bound on μ-restart attempts. The reference's retry loop (ileqg.jl:359) is
+# unbounded, but μ grows super-geometrically (μ ← μ·Δ with Δ doubling), so
+# any problem the reference could regularize succeeds long before 40 rounds;
+# lanes that still fail are declared infeasible (failed=True).
+MAX_MU_RESTARTS = 40
+
+
+class DPResult(NamedTuple):
+    """Counterpart of ``DynamicProgrammingResult`` (``ileqg.jl:328-335``).
+
+    ``s``/``s_vec``/``S`` have leading dim ``N+1`` (index 0 = initial time),
+    ``g``/``G``/``H`` have leading dim ``N``.
+    """
+    s: Array       # (N+1,)
+    s_vec: Array   # (N+1, n)
+    S: Array       # (N+1, n, n)
+    g: Array       # (N, m)
+    G: Array       # (N, m, n)
+    H: Array       # (N, m, m)
+
+    @property
+    def value(self) -> Array:
+        """Cost-to-go at the initial state (``s_array[1]`` in the ref)."""
+        return self.s[0]
+
+
+def increase_mu_delta(mu: Array, delta: Array, mu_min: float,
+                      delta_0: float) -> Tuple[Array, Array]:
+    """``increase_μ_and_Δ!`` (``ileqg.jl:471-474``)."""
+    delta = jnp.maximum(delta_0, delta * delta_0)
+    mu = jnp.maximum(mu_min, mu * delta)
+    return mu, delta
+
+
+def decrease_mu_delta(mu: Array, delta: Array, mu_min: float,
+                      delta_0: float) -> Tuple[Array, Array]:
+    """``decrease_μ_and_Δ!`` (``ileqg.jl:480-488``).
+
+    Exported for parity (the reference exports and unit-tests it but never
+    calls it from the solver loop — SURVEY.md §2 C6 note).
+    """
+    delta = jnp.minimum(1.0 / delta_0, delta / delta_0)
+    new_mu = mu * delta
+    mu = jnp.where(new_mu >= mu_min, new_mu, 0.0)
+    return mu, delta
+
+
+def _chol_ok(chol: Array) -> Array:
+    """PSD test: Cholesky succeeded iff every entry is finite.
+
+    Counterpart of Julia ``isposdef`` (``ileqg.jl:366,372``); XLA's cholesky
+    fills failed factorizations with NaN instead of raising.
+    """
+    return jnp.all(jnp.isfinite(chol))
+
+
+def _riccati_core(approx: Approximation, theta: Array, mu: Array,
+                  L_traj: Optional[Array], dl_traj: Optional[Array]
+                  ) -> Tuple[DPResult, Array, Array, Array, Array]:
+    """One full backward pass, shared by the optimizing and evaluating modes.
+
+    If ``L_traj is None`` the pass *optimizes* the policy (computes gains
+    ``L = −H⁻¹G``, offsets ``dl = −H⁻¹g`` and checks H-PSD, per
+    ``ileqg.jl:341-406``); otherwise it *evaluates* the fixed policy
+    (``ileqg.jl:412-465``) with optional offsets ``dl_traj``.
+
+    Returns ``(dp_result, L_out, dl_out, m_fail, h_fail)`` where the fail
+    flags identify the first failed check in backward scan order.
+    """
+    optimizing = L_traj is None
+    n = approx.A.shape[-1]
+    m = approx.B.shape[-1]
+    dtype = approx.A.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+    theta_is_zero = theta == 0.0
+    theta_safe = jnp.where(theta_is_zero, jnp.ones((), dtype), theta)
+
+    if dl_traj is None and not optimizing:
+        dl_traj = jnp.zeros((approx.N, m), dtype=dtype)
+
+    def step(carry, inp):
+        s, s_vec, S, m_fail, h_fail = carry
+        failed = m_fail | h_fail
+        if optimizing:
+            q, q_vec, Q, r, R, P, A, B, W, W_inv, logdet_W = inp
+        else:
+            q, q_vec, Q, r, R, P, A, B, W, W_inv, logdet_W, L, dl = inp
+
+        # M = W⁻¹ − θ S_{t+1}   (ileqg.jl:365); PSD via Cholesky.
+        M = _sym(W_inv - theta * S)
+        M_chol = jnp.linalg.cholesky(M)
+        m_ok = _chol_ok(M_chol)
+        # Latch the *first* failure in backward order (ref throws here).
+        m_fail = m_fail | (~failed & ~m_ok)
+
+        # D = I + θ S_{t+1} M⁻¹  (ileqg.jl:367).  S, M symmetric ⇒
+        # S M⁻¹ = (M⁻¹ S)ᵀ, one triangular solve instead of an inverse.
+        MinvS = jax.scipy.linalg.cho_solve((M_chol, True), S)
+        D = eye_n + theta * MinvS.T
+        DS = D @ S
+
+        g = r + B.T @ (D @ s_vec)                      # ileqg.jl:368
+        G = P + B.T @ DS @ A                           # ileqg.jl:369
+        H = _sym(R + B.T @ DS @ B + mu * eye_m)        # ileqg.jl:370-371
+
+        if optimizing:
+            H_chol = jnp.linalg.cholesky(H)
+            h_ok = _chol_ok(H_chol)
+            h_fail = h_fail | (~failed & ~m_fail & ~h_ok)
+            # L = −H⁻¹G, dl = −H⁻¹g  (ileqg.jl:379-382).
+            L = -jax.scipy.linalg.cho_solve((H_chol, True), G)
+            dl = -jax.scipy.linalg.cho_solve((H_chol, True), g)
+
+        Hdl = H @ dl
+        s_new = q + s + 0.5 * dl @ Hdl + dl @ g        # ileqg.jl:383
+        # Risk term: θ=0 → ½tr(W S') (ileqg.jl:385);
+        # θ>0 → θ/2 s⃗ᵀM⁻¹s⃗ − 1/(2θ)·logdet(WM) (ileqg.jl:387).
+        Minv_svec = jax.scipy.linalg.cho_solve((M_chol, True), s_vec)
+        logdet_M = 2.0 * jnp.sum(jnp.log(jnp.diagonal(M_chol)))
+        risk_neutral = 0.5 * jnp.trace(W @ S)
+        risk_sensitive = (0.5 * theta * (s_vec @ Minv_svec)
+                          - (logdet_W + logdet_M) / (2.0 * theta_safe))
+        s_new = s_new + jnp.where(theta_is_zero, risk_neutral, risk_sensitive)
+
+        s_vec_new = (q_vec + A.T @ (D @ s_vec) + L.T @ Hdl + L.T @ g
+                     + G.T @ dl)                       # ileqg.jl:389
+        S_new = _sym(Q + A.T @ DS @ A + L.T @ H @ L + L.T @ G
+                     + G.T @ L)                        # ileqg.jl:390-391
+
+        carry_new = (s_new, s_vec_new, S_new, m_fail, h_fail)
+        return carry_new, (s_new, s_vec_new, S_new, g, G, H, L, dl)
+
+    init = (approx.q_term, approx.q_vec_term, approx.Q_term,
+            jnp.zeros((), bool), jnp.zeros((), bool))
+    xs = (approx.q, approx.q_vec, approx.Q, approx.r, approx.R, approx.P,
+          approx.A, approx.B, approx.W, approx.W_inv, approx.logdet_W)
+    if not optimizing:
+        xs = xs + (L_traj, dl_traj)
+
+    (_, _, _, m_fail, h_fail), ys = lax.scan(step, init, xs, reverse=True)
+    s_s, s_vec_s, S_s, g_s, G_s, H_s, L_out, dl_out = ys
+
+    dp = DPResult(
+        s=jnp.concatenate([s_s, approx.q_term[None]]),
+        s_vec=jnp.concatenate([s_vec_s, approx.q_vec_term[None]]),
+        S=jnp.concatenate([S_s, approx.Q_term[None]]),
+        g=g_s, G=G_s, H=H_s)
+    return dp, L_out, dl_out, m_fail, h_fail
+
+
+def dp_evaluate(approx: Approximation, L_traj: Array,
+                dl_traj: Optional[Array] = None, *, theta: Array,
+                mu: Array) -> Tuple[DPResult, Array]:
+    """Policy-evaluating backward pass under fixed gains.
+
+    Counterpart of ``solve_approximate_dp`` (``ileqg.jl:412-465``).  Returns
+    ``(dp_result, failed)`` where ``failed`` replaces the reference's M-PSD
+    assert/throw ("neurotic breakdown", ``ileqg.jl:440``).
+    """
+    theta = jnp.asarray(theta, approx.A.dtype)
+    mu = jnp.asarray(mu, approx.A.dtype)
+    dp, _, _, m_fail, _ = _riccati_core(approx, theta, mu, L_traj, dl_traj)
+    return dp, m_fail
+
+
+def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
+                delta: Array, mu_min: float, delta_0: float,
+                max_restarts: int = MAX_MU_RESTARTS
+                ) -> Tuple[DPResult, Array, Array, Array, Array, Array]:
+    """Policy-optimizing backward pass with the μ-restart retry loop.
+
+    Counterpart of ``solve_approximate_dp!`` (``ileqg.jl:341-406``): the
+    outer ``while !all_hessians_psd`` loop that bumps μ/Δ and restarts from
+    ``t = N`` on any non-PSD ``H_t`` becomes a bounded ``lax.while_loop``.
+
+    Returns ``(dp_result, L, dl, mu, delta, failed)``; ``failed`` is True on
+    neurotic breakdown (non-PSD M — the reference throws) or restart-budget
+    exhaustion.
+    """
+    dtype = approx.A.dtype
+    theta = jnp.asarray(theta, dtype)
+    mu = jnp.asarray(mu, dtype)
+    delta = jnp.asarray(delta, dtype)
+
+    def run(mu_v):
+        return _riccati_core(approx, theta, mu_v, None, None)
+
+    dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
+    state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,
+             jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        _, _, _, _, _, m_fail, h_fail, k = state
+        return h_fail & ~m_fail & (k < max_restarts)
+
+    def body(state):
+        _, _, _, mu_v, delta_v, _, _, k = state
+        mu_v, delta_v = increase_mu_delta(mu_v, delta_v, mu_min, delta_0)
+        dp, L, dl, m_fail, h_fail = run(mu_v)
+        return (dp, L, dl, mu_v, delta_v, m_fail, h_fail, k + 1)
+
+    dp, L, dl, mu, delta, m_fail, h_fail, _ = lax.while_loop(
+        cond, body, state)
+    failed = m_fail | h_fail
+    return dp, L, dl, mu, delta, failed

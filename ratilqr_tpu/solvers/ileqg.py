@@ -1,0 +1,253 @@
+"""iLQG / iLEQG trust-region trajectory optimizer.
+
+TPU-native counterpart of ``ILEQGSolver`` and its ``initialize!`` /
+``step!`` / ``line_search!`` / ``solve!`` loop
+(``/root/reference/src/ileqg.jl:164-659``).
+
+The whole solve is one jit-compiled pure function: rollouts are
+``lax.scan``, model approximation is a time-``vmap`` of AD, the Riccati
+passes are reverse scans with a bounded μ-restart ``while_loop``
+(``ops/riccati.py``), and the two data-dependent loops — backtracking line
+search and the outer iLEQG iteration — are ``lax.while_loop``s with explicit
+carries (SURVEY.md §7 principle 5).  Because every loop is a lax primitive,
+``jax.vmap`` of :func:`solve` yields a *bank* of simultaneous solves with
+per-lane iteration masking — this is what replaces the reference's
+process-level fan-out of one solve per θ-sample
+(``cross_entropy_bilevel_optimization.jl:180-192``).
+
+Exceptions become flags: the reference's "neurotic breakdown" asserts and the
+bilevel catch-to-Inf (``cross_entropy_bilevel_optimization.jl:161-166``)
+surface here as ``result.failed`` with ``result.value == +Inf``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ratilqr_tpu.config import ILEQGConfig
+from ratilqr_tpu.ops.approx import approximate_model
+from ratilqr_tpu.ops.riccati import dp_evaluate, dp_optimize
+from ratilqr_tpu.ops.rollout import (rollout_feedback_with_jac,
+                                     rollout_open_loop_with_jac)
+from ratilqr_tpu.problems import RiskSensitiveProblem
+from ratilqr_tpu.utils.numerics import isapprox, max_control_deviation
+
+Array = jnp.ndarray
+
+
+class ILEQGResult(NamedTuple):
+    """Return value of :func:`solve` — the reference's
+    ``(x_array, l_array, L_array, value, ϵ_history)`` tuple
+    (``ileqg.jl:655-658``) plus explicit failure/diagnostic fields."""
+    x: Array             # (N+1, n) nominal state trajectory
+    l: Array             # (N, m)   nominal control schedule
+    L: Array             # (N, m, n) feedback gains: π_k(x) = L_k(x−x_k)+l_k
+    value: Array         # ()       optimal cost-to-go; +Inf if failed
+    eps_history: Array   # (cap, 2) ring buffer of (ε, Δvalue) per LS trial
+    eps_count: Array     # ()       number of valid eps_history entries
+    iterations: Array    # ()       iLEQG iterations executed
+    d_final: Array       # ()       final max ‖Δl_t‖₂ error norm
+    mu_final: Array      # ()       final regularization μ
+    failed: Array        # ()       neurotic breakdown / budget exhaustion
+
+
+class _State(NamedTuple):
+    x: Array
+    l: Array
+    L: Array
+    A: Array             # cached dynamics Jacobians for the nominal traj
+    B: Array
+    value: Array
+    mu: Array
+    delta: Array
+    d_current: Array
+    eps_init_cur: Array
+    iterations: Array
+    eps_hist: Array
+    eps_count: Array
+    done: Array
+    failed: Array
+
+
+def _push_hist(hist: Array, count: Array, valid: Array, eps: Array,
+               dval: Array) -> Tuple[Array, Array]:
+    """Append (ε, Δvalue) to the fixed-size history buffer when ``valid``."""
+    cap = hist.shape[0]
+    idx = jnp.minimum(count, cap - 1)
+    entry = jnp.stack([eps, dval]).astype(hist.dtype)
+    new = hist.at[idx].set(jnp.where(valid, entry, hist[idx]))
+    return new, count + valid.astype(count.dtype)
+
+
+def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
+                 state: _State, dl: Array, theta: Array):
+    """Backtracking line search (``ileqg.jl:494-592``).
+
+    Candidate ``l + ε·dl`` is rolled out closed-loop under the frozen gains,
+    fully re-approximated, and evaluated with the policy-evaluating DP; a DP
+    failure (non-PSD M, the reference's catch at ``ileqg.jl:529-535``)
+    shrinks ε and retries without recording history.  Acceptance rule:
+    ``value_new ≈ value_current || value_new < value_current``
+    (``ileqg.jl:538``); below ``eps_min`` the candidate is accepted
+    unconditionally (``ileqg.jl:558-575``).
+    """
+    dtype = state.value.dtype
+    lam = jnp.asarray(config.lam, dtype)
+
+    def trial(carry):
+        (eps, count, accepted, x_c, u_c, A_c, B_c, value_c, d_c, hist,
+         hist_n) = carry
+        l_cand = state.l + eps * dl
+        x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
+            problem, state.x, l_cand, state.L)
+        approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
+        dp_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
+                                   mu=state.mu)
+        value_new = dp_new.value
+        evaluated = ~fail
+
+        hist, hist_n = _push_hist(hist, hist_n, evaluated, eps,
+                                  value_new - state.value)
+
+        accept = evaluated & (isapprox(value_new, state.value)
+                              | (value_new < state.value))
+        eps_next = jnp.where(accept, eps, eps * lam)
+        # ε_min reached → accept the already-evaluated candidate anyway.
+        forced = evaluated & ~accept & (eps_next < config.eps_min)
+        take = accept | forced
+
+        d_new = max_control_deviation(state.l, u_new)
+        sel = lambda new, old: jnp.where(take, new, old)
+        return (eps_next, count + 1, accepted | take,
+                sel(x_new, x_c), sel(u_new, u_c), sel(A_new, A_c),
+                sel(B_new, B_c), sel(value_new, value_c), sel(d_new, d_c),
+                hist, hist_n)
+
+    def cond(carry):
+        eps, count, accepted = carry[0], carry[1], carry[2]
+        return ~accepted & (count < config.ls_max_trials)
+
+    init = (state.eps_init_cur, jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), state.x, state.l, state.A, state.B,
+            state.value, state.d_current, state.eps_hist, state.eps_count)
+    (eps, count, accepted, x_c, u_c, A_c, B_c, value_c, d_c, hist,
+     hist_n) = lax.while_loop(cond, trial, init)
+
+    # Adaptive ε_init warm start (ileqg.jl:582-591).
+    if config.adaptive_eps_init:
+        eps_init_init = jnp.asarray(config.eps_init, dtype)
+        grown = jnp.minimum(eps_init_init, eps / lam)
+        # Bring ε back above ε_min (the reference's `while ϵ < ϵ_min` loop).
+        restored = lax.while_loop(lambda e: e < config.eps_min,
+                                  lambda e: e / lam, eps)
+        eps_init_next = jnp.where(count == 1, grown, restored)
+    else:
+        eps_init_next = state.eps_init_cur
+
+    return state._replace(
+        x=x_c, l=u_c, A=A_c, B=B_c, value=value_c, d_current=d_c,
+        eps_hist=hist, eps_count=hist_n, eps_init_cur=eps_init_next,
+        failed=state.failed | ~accepted)
+
+
+def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
+          theta: Array) -> _State:
+    """One iLEQG iteration: approximate → optimizing DP → line search
+    (``ileqg.jl:598-613``)."""
+    approx = approximate_model(problem, state.l, state.x, state.A, state.B)
+    _, L_new, dl, mu, delta, fail_opt = dp_optimize(
+        approx, theta=theta, mu=state.mu, delta=state.delta,
+        mu_min=config.mu_min, delta_0=config.delta_0)
+    state = state._replace(L=L_new, mu=mu, delta=delta,
+                           iterations=state.iterations + 1,
+                           failed=state.failed | fail_opt)
+    ls_state = _line_search(problem, config, state, dl, theta)
+    # If the optimizing DP already failed, the line search result is garbage;
+    # keep the failure latched (value forced to Inf at the end of solve()).
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(state.failed, a, b), state, ls_state
+    )._replace(failed=state.failed | ls_state.failed)
+
+
+def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
+                x0: Array, u_init: Array, theta: Array) -> _State:
+    """``initialize!`` (``ileqg.jl:214-236``): μ←0, Δ←Δ₀, nominal rollout,
+    zero gains, initial value from one policy-evaluating DP pass."""
+    dtype = x0.dtype
+    N = u_init.shape[0]
+    n, m = x0.shape[0], u_init.shape[1]
+    x, A, B = rollout_open_loop_with_jac(problem, x0, u_init)
+    L = jnp.zeros((N, m, n), dtype)
+    approx = approximate_model(problem, u_init, x, A, B)
+    dp, fail = dp_evaluate(approx, L, None, theta=theta,
+                           mu=jnp.zeros((), dtype))
+    return _State(
+        x=x, l=u_init, L=L, A=A, B=B, value=dp.value,
+        mu=jnp.zeros((), dtype), delta=jnp.asarray(config.delta_0, dtype),
+        d_current=jnp.asarray(jnp.inf, dtype),
+        eps_init_cur=jnp.asarray(config.eps_init, dtype),
+        iterations=jnp.zeros((), jnp.int32),
+        eps_hist=jnp.zeros((config.eps_history_cap, 2), dtype),
+        eps_count=jnp.zeros((), jnp.int32),
+        done=fail, failed=fail)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def solve(problem: RiskSensitiveProblem, config: ILEQGConfig, x0: Array,
+          u_init: Array, theta: Array) -> ILEQGResult:
+    """Solve iLQG (``theta == 0``) or iLEQG (``theta > 0``).
+
+    Counterpart of ``solve!`` (``ileqg.jl:635-659``): initialize, then
+    iterate ``step!`` until ``d_current < d ∧ μ ≤ μ_min`` or ``iter_max``
+    (``ileqg.jl:642-653``) — here a ``lax.while_loop`` in do-while form (the
+    reference always executes at least one step).
+
+    ``problem`` and ``config`` are static; re-jitting happens per problem,
+    and the function is ``vmap``-able over ``(x0, u_init, theta)`` for
+    solver banks.
+    """
+    theta = jnp.asarray(theta, x0.dtype)
+    state = _initialize(problem, config, x0, u_init, theta)
+
+    def cond(s: _State):
+        return ~s.done
+
+    def body(s: _State):
+        s = _step(problem, config, s, theta)
+        converged = (s.d_current < config.d_tol) & (s.mu <= config.mu_min)
+        done = converged | (s.iterations >= config.iter_max) | s.failed
+        return s._replace(done=done)
+
+    state = lax.while_loop(cond, body, state)
+    value = jnp.where(state.failed, jnp.asarray(jnp.inf, x0.dtype),
+                      state.value)
+    return ILEQGResult(
+        x=state.x, l=state.l, L=state.L, value=value,
+        eps_history=state.eps_hist, eps_count=state.eps_count,
+        iterations=state.iterations, d_final=state.d_current,
+        mu_final=state.mu, failed=state.failed)
+
+
+def solve_value(problem: RiskSensitiveProblem, config: ILEQGConfig,
+                x0: Array, u_init: Array, theta: Array) -> Array:
+    """Value-only convenience wrapper (the bilevel solvers' worker unit,
+    ``cross_entropy_bilevel_optimization.jl:144-167``)."""
+    return solve(problem, config, x0, u_init, theta).value
+
+
+def make_batched_solver(problem: RiskSensitiveProblem, config: ILEQGConfig):
+    """Build a jitted θ-bank solver: ``(x0, u_init, theta_batch) ->
+    ILEQGResult`` batched over the leading axis of ``theta_batch``.
+
+    This is the TPU-native replacement for the reference's per-θ process
+    fan-out (``cross_entropy_bilevel_optimization.jl:180-192``): all lanes
+    run the full iLEQG solve simultaneously on one chip, with per-lane
+    while-loop masking from vmap's batching rules.
+    """
+    batched = jax.vmap(lambda x0, u, th: solve(problem, config, x0, u, th),
+                       in_axes=(None, None, 0))
+    return jax.jit(batched)

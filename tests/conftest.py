@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Runs the suite on CPU with 8 virtual XLA devices — the analogue of the
+reference harness spawning one extra Julia worker (``test/runtests.jl:11-13``)
+— so multi-device sharding tests run anywhere (SURVEY.md §4 implication (c)).
+x64 is enabled because the reference is Float64 throughout; the library
+itself is dtype-polymorphic (bench runs f32 on TPU).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize hook re-forces jax_platforms="axon,cpu" in every
+# python process, silently routing "CPU" tests through the TPU tunnel (with
+# tunnel round-trips per eager op).  Override it back to genuine CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache — repeated pytest runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
