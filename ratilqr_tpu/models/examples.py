@@ -62,6 +62,33 @@ def nonlinear_toy(N: int = 10, noise: float = 0.01,
     )
 
 
+def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
+             goal=(5.0, 5.0), dtype=jnp.float64) -> RiskSensitiveProblem:
+    """Stochastic unicycle regulation — the nonlinear robot model family the
+    RAT iLQR paper evaluates on (``README.md:20-25``; the repo itself ships
+    only analytic fixtures, SURVEY.md §6).  State ``(px, py, heading)``,
+    control ``(v, ω)``; additive Gaussian position/heading noise."""
+    g = jnp.asarray(list(goal) + [0.0], dtype)
+    Wm = noise * jnp.eye(3, dtype=dtype)
+
+    def f(x, u):
+        px, py, th = x[0], x[1], x[2]
+        v, om = u[0], u[1]
+        return jnp.stack([px + dt * v * jnp.cos(th),
+                          py + dt * v * jnp.sin(th),
+                          th + dt * om])
+
+    def c(k, x, u):
+        dx = x - g
+        return 0.05 * (dx @ dx) + 0.05 * (u @ u)
+
+    def h(x):
+        dx = x - g
+        return 10.0 * (dx @ dx)
+
+    return RiskSensitiveProblem(f=f, c=c, h=h, W=lambda k: Wm, N=N)
+
+
 def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:
     """Generative 2-D integrator with model mismatch
     (``optimal_control_problems.jl:102-116``): the solver's internal model is

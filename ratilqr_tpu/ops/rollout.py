@@ -188,8 +188,11 @@ def rollout_generative(problem: GenerativeProblem, x0: Array, u_traj: Array,
         x_next = problem.f_stochastic(x, u, subkey, use_true_model)
         return (x_next, cost), x_next
 
+    # Derive the zero-cost init from x0 so it inherits x0's device-varying
+    # type under shard_map (a literal zero would be replicated and the scan
+    # carry would fail the varying-axes type check).
+    cost0 = jnp.sum(x0 * 0)
     (x_N, cost), xs = lax.scan(
-        step, (x0, jnp.zeros((), dtype=x0.dtype)),
-        (_time_indices(N), u_traj, keys))
+        step, (x0, cost0), (_time_indices(N), u_traj, keys))
     cost = cost + problem.h(x_N)
     return jnp.concatenate([x0[None], xs], axis=0), cost

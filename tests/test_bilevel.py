@@ -1,0 +1,116 @@
+"""RAT iLQR (CE) and RAT iLQR++ (NM) bilevel solver tests, mirroring
+``test/cross_entropy_bilevel_optimization_test.jl`` and
+``test/nelder_mead_bilevel_optimization_test.jl``."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratilqr_tpu import CrossEntropyConfig, NelderMeadConfig, ileqg_solve
+from ratilqr_tpu.models import nonlinear_toy
+from ratilqr_tpu.solvers import nelder_mead, ratilqr
+
+KL_BOUND = 1.0
+
+
+def _fixture():
+    prob = nonlinear_toy(N=10)
+    x0 = jnp.zeros(2, jnp.float64)
+    u0 = 0.1 * jnp.ones((10, 2), jnp.float64)
+    return prob, x0, u0
+
+
+def test_cost_fn_matches_individual_solves():
+    # Batched bank cost == per-θ solve value + kl/θ — the analogue of the
+    # reference's parallel ≡ serial test (ce test :29-32).
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=3)
+    cost_fn = ratilqr.make_cost_fn(prob, config)
+    thetas = jnp.array([0.1, 0.3, 0.43])
+    costs = np.asarray(cost_fn(x0, u0, thetas, KL_BOUND))
+    for th, c in zip(np.asarray(thetas), costs):
+        res = ileqg_solve(prob, config.ileqg, x0, u0, float(th))
+        expected = float(res.value) + KL_BOUND / float(th)
+        np.testing.assert_allclose(c, expected, rtol=1e-9)
+
+
+def test_positive_samples():
+    # Positivity + count (ce test :34-35); here a single truncated-normal
+    # draw statistically equivalent to the reference's rejection loop.
+    th = ratilqr.get_positive_samples(jax.random.key(123), 0.0, 1.0, 10)
+    assert th.shape == (10,)
+    assert np.all(np.asarray(th) > 0.0)
+    # Statistical sanity: truncated N(0,1) on (0,inf) has mean √(2/π)≈0.798.
+    big = ratilqr.get_positive_samples(jax.random.key(0), 0.0, 1.0, 20000)
+    np.testing.assert_allclose(float(jnp.mean(big)), 0.7979, atol=0.02)
+
+
+def test_ratilqr_solve_end_to_end():
+    # Seeded end-to-end solve returns finite cost, non-NaN θ (ce test :37-41).
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=3)
+    state = ratilqr.init_state(config)
+    res = ratilqr.solve(prob, config, state, x0, u0, jax.random.key(12344),
+                        kl_bound=KL_BOUND)
+    assert np.isfinite(float(res.value))
+    assert not np.isnan(float(res.theta_opt))
+    assert float(res.theta_opt) > 0.0
+    assert 0.0 < float(res.state.theta_min) <= float(res.state.theta_max)
+    # Warm-start state adapts across calls (ref :66-68): second solve reuses
+    # the adapted mu_init/sigma_init without error.
+    res2 = ratilqr.solve(prob, config, res.state, x0, u0, jax.random.key(5),
+                         kl_bound=KL_BOUND)
+    assert np.isfinite(float(res2.value))
+
+
+def test_ratilqr_kl_zero_is_ilqg():
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=3)
+    state = ratilqr.init_state(config)
+    res = ratilqr.solve(prob, config, state, x0, u0, jax.random.key(0),
+                        kl_bound=0.0)
+    assert float(res.theta_opt) == 0.0
+    ref = ileqg_solve(prob, config.ileqg, x0, u0, 0.0)
+    np.testing.assert_allclose(float(res.value), float(ref.value), rtol=1e-12)
+
+
+def test_nelder_mead_end_to_end():
+    # NM test :25-32: finite cost, non-NaN θ, and c_opt beats both initial
+    # simplex vertices.
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig(iter_max=20, eps=1e-3, theta_high_init=10.0,
+                              theta_low_init=1e-8)
+    state = nelder_mead.init_state(config)
+    res = nelder_mead.solve(prob, config, state, x0, u0, kl_bound=KL_BOUND)
+    assert np.isfinite(float(res.value))
+    assert not np.isnan(float(res.theta_opt))
+
+    cost = nelder_mead._make_cost(prob, config, x0, u0, KL_BOUND)
+    c_low_init = cost(res.state.theta_low_init)
+    c_high_init = cost(res.state.theta_high_init)
+    assert np.isfinite(c_low_init) and np.isfinite(c_high_init)
+    assert float(res.value) <= c_low_init
+    assert float(res.value) <= c_high_init
+
+
+def test_nelder_mead_kl_zero_is_ilqg():
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+    res = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                            x0, u0, kl_bound=0.0)
+    assert float(res.theta_opt) == 0.0
+    ref = ileqg_solve(prob, config.ileqg, x0, u0, 0.0)
+    np.testing.assert_allclose(float(res.value), float(ref.value), rtol=1e-12)
+
+
+def test_feasibility_rescaling_shrinks_inits():
+    # Start the CE distribution deep in infeasible θ territory: iteration-1
+    # logic must shrink mu_init/sigma_init (ref :293-298) until enough lanes
+    # are feasible, and the solve must still return finite cost.
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=4, num_elite=2,
+                                mu_init=500.0, sigma_init=1.0)
+    state = ratilqr.init_state(config)
+    res = ratilqr.solve(prob, config, state, x0, u0, jax.random.key(3),
+                        kl_bound=KL_BOUND)
+    assert np.isfinite(float(res.value))
+    assert float(res.state.mu_init) < 500.0

@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh — the
+analogue of the reference's distributed tests on a spawned worker
+(``test/runtests.jl:11-13``, SURVEY.md §4 implication (c)).
+
+The invariant throughout: sharded execution ≡ single-device execution
+(placement changes, math doesn't) — replacing the reference's
+parallel ≡ serial assertions."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratilqr_tpu import CrossEntropyConfig, PETSConfig
+from ratilqr_tpu.models import nonlinear_toy
+from ratilqr_tpu.parallel import (compute_cost_shard_map, make_mesh,
+                                  make_sharded_pets_solve,
+                                  make_sharded_theta_cost_fn)
+from ratilqr_tpu.solvers import pets, ratilqr
+from ratilqr_tpu.tests_support import pets_uniform_problem  # noqa: F401
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.shape["samples"] == 8
+
+
+def test_sharded_theta_bank_matches_unsharded():
+    # Sharded CE θ-bank ≡ unsharded bank, lane for lane (the reference's
+    # compute_cost ≈ compute_cost_serial test, ce test :29-32).
+    prob = nonlinear_toy(N=10)
+    config = CrossEntropyConfig(num_samples=8)
+    x0 = jnp.zeros(2, jnp.float64)
+    u0 = 0.1 * jnp.ones((10, 2), jnp.float64)
+    thetas = jnp.linspace(0.05, 0.6, 8)
+
+    mesh = make_mesh()
+    sharded = make_sharded_theta_cost_fn(prob, config, mesh)
+    plain = ratilqr.make_cost_fn(prob, config)
+    c_sharded = sharded(x0, u0, thetas, 1.0)
+    c_plain = plain(x0, u0, thetas, 1.0)
+    np.testing.assert_allclose(np.asarray(c_sharded), np.asarray(c_plain),
+                               rtol=1e-10)
+
+
+def test_shard_map_pets_cost_shapes_and_determinism(pets_uniform_problem):
+    prob = pets_uniform_problem
+    config = PETSConfig(num_control_samples=16, num_trajectory_samples=3)
+    mesh = make_mesh()
+    x0 = jnp.zeros(2, jnp.float64)
+    us = jax.random.normal(jax.random.key(0), (16, prob.N, 2),
+                           dtype=jnp.float64)
+    key = jax.random.key(1)
+    c1 = compute_cost_shard_map(prob, config, mesh, x0, us, key)
+    c2 = compute_cost_shard_map(prob, config, mesh, x0, us, key)
+    assert c1.shape == (16,)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.all(np.isfinite(np.asarray(c1)))
+    # Cost-only-on-u problem: exact independent recomputation per sequence.
+    expected = np.asarray(jnp.sum(jnp.abs(us), axis=(1, 2)) + 1.0)
+    np.testing.assert_allclose(np.asarray(c1), expected, rtol=1e-12)
+
+
+def test_sharded_pets_solve_matches_unsharded(pets_uniform_problem):
+    # Same keys → the GSPMD-sharded solve must reproduce the single-device
+    # solve bit-for-bit in structure (same sampling, same elites).
+    prob = pets_uniform_problem
+    config = PETSConfig(num_control_samples=16, num_trajectory_samples=4,
+                        num_elite=4, iter_max=3)
+    x0 = jnp.zeros(2, jnp.float64)
+    mu = jnp.zeros((prob.N, 2), jnp.float64)
+    sigma = jnp.eye(2, dtype=jnp.float64)[None].repeat(prob.N, 0)
+    state = pets.init_state(mu, sigma)
+    key = jax.random.key(42)
+
+    mesh = make_mesh()
+    sharded_solve = make_sharded_pets_solve(prob, config, mesh)
+    out_sharded = sharded_solve(x0, state, key)
+    out_plain = pets.solve(prob, config, x0, state, key)
+    np.testing.assert_allclose(np.asarray(out_sharded.mu),
+                               np.asarray(out_plain.mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_sharded.sigma),
+                               np.asarray(out_plain.sigma), rtol=1e-12)
+
+
+def test_shard_map_rejects_indivisible_batch(pets_uniform_problem):
+    prob = pets_uniform_problem
+    config = PETSConfig(num_control_samples=10)
+    mesh = make_mesh()
+    us = jnp.zeros((10, prob.N, 2))
+    try:
+        compute_cost_shard_map(prob, config, mesh, jnp.zeros(2), us,
+                               jax.random.key(0))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
