@@ -1,0 +1,96 @@
+"""MPC driver: closed-loop re-planning with cross-call warm starts.
+
+The reference has no MPC executor class — its docs describe the usage
+pattern (``docs/source/getting-started.md:96-115``, SURVEY.md §3.5): per
+re-plan, call ``solve!`` with the current state and a warm-started control
+schedule, execute the first step of the returned affine policy
+``π_k(x) = L_k(x − x̄_k) + l_k`` (``ileqg.jl:632-633``), and repeat.  Solver
+structs deliberately carry adapted state across calls (CE's μ_init/σ_init,
+``cross_entropy_bilevel_optimization.jl:66-68``; NM's θ inits,
+``nelder_mead_bilevel_optimization.jl:68-69``).
+
+This module makes that pattern a first-class driver: stateless solver
+functions + explicit warm-start pytrees threaded through the loop, with
+standard shift-and-hold control warm starting.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ratilqr_tpu.problems import RiskSensitiveProblem
+
+Array = jnp.ndarray
+
+
+class MPCStep(NamedTuple):
+    """Record of one closed-loop MPC step."""
+    x: Array           # state at which the plan was made
+    u: Array           # control actually applied (first policy step)
+    value: Array       # solver objective value
+    plan_time_s: float  # wall-clock re-plan latency
+    info: Any          # solver-specific extras (θ_opt, ranges, ...)
+
+
+def shift_warm_start(l_traj: Array) -> Array:
+    """Shift the accepted control schedule one step and hold the last
+    control — the standard MPC warm start for the next re-plan."""
+    return jnp.concatenate([l_traj[1:], l_traj[-1:]], axis=0)
+
+
+def affine_policy_control(x: Array, x_ref: Array, l: Array,
+                          L: Array) -> Array:
+    """First-step control of the affine policy ``π_0(x) = L_0(x − x̄_0) +
+    l_0`` (``ileqg.jl:632-633``)."""
+    return l[0] + L[0] @ (x - x_ref[0])
+
+
+@dataclasses.dataclass
+class MPCDriver:
+    """Closed-loop MPC executor.
+
+    Args:
+      problem: the planning problem (the solver's model).
+      plan: callable ``plan(x, u_warm, key) -> result`` where ``result`` has
+        ``.x``, ``.l``, ``.L`` and ``.value`` attributes — satisfied by the
+        stateful solver wrappers (``RATiLQRSolver.solve`` /
+        ``NelderMeadSolver.solve`` / a bound ``ileqg_solve``).  Warm-start
+        solver state lives inside the wrapper, exactly as the reference's
+        mutable solver structs do.
+      simulate: true-world transition ``simulate(x, u, key) -> x_next``; by
+        default the planning model plus noise ``w ~ N(0, W(k))``.
+    """
+    problem: RiskSensitiveProblem
+    plan: Callable[[Array, Array, Array], Any]
+    simulate: Optional[Callable[[Array, Array, Array, Array], Array]] = None
+
+    def _default_simulate(self, k: Array, x: Array, u: Array,
+                          key: Array) -> Array:
+        W = self.problem.W(k)
+        w = jnp.linalg.cholesky(W) @ jax.random.normal(
+            key, x.shape, dtype=x.dtype)
+        return self.problem.f(x, u) + w
+
+    def run(self, x0: Array, u_init: Array, key: Array,
+            num_steps: int) -> List[MPCStep]:
+        """Run ``num_steps`` closed-loop steps; returns the step records."""
+        sim = self.simulate or self._default_simulate
+        x = x0
+        u_warm = u_init
+        steps: List[MPCStep] = []
+        for k in range(num_steps):
+            key, k_plan, k_sim = jax.random.split(key, 3)
+            t0 = time.perf_counter()
+            res = self.plan(x, u_warm, k_plan)
+            jax.block_until_ready(res.value)
+            dt = time.perf_counter() - t0
+            u = affine_policy_control(x, res.x, res.l, res.L)
+            steps.append(MPCStep(x=x, u=u, value=res.value, plan_time_s=dt,
+                                 info=getattr(res, "theta_opt", None)))
+            x = sim(jnp.asarray(k), x, u, k_sim)
+            u_warm = shift_warm_start(res.l)
+        return steps
