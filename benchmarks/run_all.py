@@ -1,0 +1,142 @@
+"""Full benchmark/parity harness (SURVEY.md §7 step 9).
+
+Produces a JSON report covering:
+  - ileqg_solves_per_s          batched iLEQG throughput at T=100 (headline)
+  - ratilqr_mpc_step_p50_ms     RAT iLQR re-plan latency, p50 over steps
+  - pets_generations_per_s      fully-jitted PETS CEM generation rate
+  - scaling_efficiency_8dev     sharded θ-bank on 8 virtual CPU devices vs 1
+                                (run with BENCH_SCALING=1; forces CPU)
+
+Usage: python benchmarks/run_all.py [--json out.json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def bench_ileqg_throughput(batch=1024, T=100):
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.solvers.ileqg import make_batched_solver
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    bank = make_batched_solver(problem, ILEQGConfig())
+    x0 = jnp.zeros(3, dtype)
+    u0 = jnp.zeros((T, 2), dtype)
+    thetas = jnp.linspace(0.0, 0.02, batch).astype(dtype)
+    stats = time_fn(lambda th: bank(x0, u0, th).value, thetas, reps=3)
+    return {"ileqg_solves_per_s": batch / stats["best"],
+            "ileqg_bank_latency_ms": stats["best"] * 1e3,
+            "ileqg_compile_s": stats["compile"]}
+
+
+def bench_ratilqr_mpc(T=30, steps=10):
+    from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.mpc import MPCDriver
+    from ratilqr_tpu.solvers.ratilqr import RATiLQRSolver
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    solver = RATiLQRSolver(problem, CrossEntropyConfig(
+        num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
+        ileqg=ILEQGConfig(iter_max=30)))
+    driver = MPCDriver(
+        problem=problem,
+        plan=lambda x, u, key: solver.solve(x, u, key, kl_bound=0.05))
+    recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                      jax.random.key(0), num_steps=steps)
+    lat = sorted(r.plan_time_s for r in recs[1:])  # drop compile step
+    return {"ratilqr_mpc_step_p50_ms": 1e3 * lat[len(lat) // 2],
+            "ratilqr_mpc_step_best_ms": 1e3 * lat[0]}
+
+
+def bench_pets(T=50, K=256, M=16):
+    from ratilqr_tpu import PETSConfig
+    from ratilqr_tpu.models import gmm_integrator
+    from ratilqr_tpu.solvers import pets
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    prob = gmm_integrator(N=T, dtype=dtype)
+    config = PETSConfig(num_control_samples=K, num_trajectory_samples=M,
+                        num_elite=32, iter_max=5)
+    state = pets.init_state(jnp.zeros((T, 2), dtype),
+                            jnp.eye(2, dtype=dtype)[None].repeat(T, 0))
+    x0 = jnp.zeros(2, dtype)
+    stats = time_fn(
+        lambda k: pets.solve(prob, config, x0, state, k).mu,
+        jax.random.key(0), reps=3)
+    gens = config.iter_max / stats["best"]
+    return {"pets_generations_per_s": gens,
+            "pets_rollouts_per_s": gens * K * M,
+            "pets_compile_s": stats["compile"]}
+
+
+def bench_scaling_cpu():
+    """Sharded θ-bank scaling on the 8-virtual-device CPU mesh."""
+    from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.parallel import make_mesh, make_sharded_theta_cost_fn
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    T, B = 50, 64
+    problem = unicycle(N=T, dtype=dtype)
+    config = CrossEntropyConfig(ileqg=ILEQGConfig(iter_max=10))
+    x0 = jnp.zeros(3, dtype)
+    u0 = jnp.zeros((T, 2), dtype)
+    thetas = jnp.linspace(0.0, 0.02, B).astype(dtype)
+
+    out = {}
+    times = {}
+    for n in (1, 8):
+        mesh = make_mesh(n_devices=n)
+        fn = make_sharded_theta_cost_fn(problem, config, mesh)
+        stats = time_fn(lambda th: fn(x0, u0, th, 0.1), thetas, reps=3)
+        times[n] = stats["best"]
+    out["scaling_speedup_8dev"] = times[1] / times[8]
+    out["scaling_efficiency_8dev"] = times[1] / times[8] / 8.0
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", default=None)
+    parser.add_argument("--skip", default="",
+                        help="comma list: ileqg,mpc,pets,scaling")
+    args = parser.parse_args()
+    skip = set(args.skip.split(","))
+
+    results = {"platform": jax.devices()[0].platform,
+               "device": str(jax.devices()[0])}
+    if os.environ.get("BENCH_SCALING") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        results.update(bench_scaling_cpu())
+    else:
+        if "ileqg" not in skip:
+            results.update(bench_ileqg_throughput())
+        if "mpc" not in skip:
+            results.update(bench_ratilqr_mpc())
+        if "pets" not in skip:
+            results.update(bench_pets())
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,10 +4,19 @@ These are the analytic fixtures the reference uses throughout its docs and
 test suite (SURVEY.md §4): the 2-D single integrator
 (``docs/source/getting-started.md:52-62``), a quadratic LQR problem
 (``test/ileqg_test.jl:68-69``), the nonlinear ``x^1.3 + u^1.5`` toy
-(``test/ileqg_test.jl:151-155``) and the Gaussian-vs-GMM generative
-integrator (``optimal_control_problems.jl:102-116``).
+(``test/ileqg_test.jl:151-155``), a stochastic unicycle, and the
+Gaussian-vs-GMM generative integrator
+(``optimal_control_problems.jl:102-116``).
+
+PERFORMANCE NOTE: problem functions must capture only Python/numpy
+constants, never ``jnp`` device arrays.  A closed-over device array becomes
+a per-call argument of every executable that traces the function —
+measured at ~27 ms per call of pure overhead on the tunneled TPU backend —
+whereas numpy/Python constants bake into the program as literals.
 """
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -19,15 +28,16 @@ def double_integrator(N: int = 10, noise: float = 0.1,
                       dtype=jnp.float64) -> RiskSensitiveProblem:
     """2-D single integrator with time-weighted quadratic costs
     (``docs/source/getting-started.md:52-62``)."""
-    eye = jnp.eye(2, dtype=dtype)
+    eye = np.eye(2)
 
     return RiskSensitiveProblem(
         f=lambda x, u: x + u,
         c=lambda k, x, u: k / 2.0 * (x @ x) + k / 2.0 * (u @ u),
         h=lambda x: N / 2.0 * (x @ x),
-        W=lambda k: noise * eye,
+        W=lambda k: jnp.asarray(noise * eye, dtype),
         N=N,
-        f_jac=lambda x, u: (x + u, eye, eye),
+        f_jac=lambda x, u: (x + u, jnp.asarray(eye, dtype),
+                            jnp.asarray(eye, dtype)),
     )
 
 
@@ -36,12 +46,12 @@ def lqr_problem(N: int = 10, noise: float = 1.0,
     """Linear dynamics + time-invariant quadratic costs — the fixture whose
     iLQG gains must equal the textbook LQR Riccati solution
     (``test/ileqg_test.jl:68-69,87-106``)."""
-    eye = jnp.eye(2, dtype=dtype)
+    eye = np.eye(2)
     return RiskSensitiveProblem(
         f=lambda x, u: x + u,
         c=lambda k, x, u: 0.5 * (x @ x) + 1.0 * (u @ u),
         h=lambda x: 0.5 * (x @ x),
-        W=lambda k: noise * eye,
+        W=lambda k: jnp.asarray(noise * eye, dtype),
         N=N,
     )
 
@@ -52,12 +62,12 @@ def nonlinear_toy(N: int = 10, noise: float = 0.01,
     ``c = Σ(x^2.5 + u^2.5)`` (``test/ileqg_test.jl:151-155``).  Only valid
     for non-negative states/controls (fractional powers), as in the
     reference test."""
-    eye = jnp.eye(2, dtype=dtype)
+    eye = np.eye(2)
     return RiskSensitiveProblem(
         f=lambda x, u: x ** 1.3 + u ** 1.5,
         c=lambda k, x, u: jnp.sum(x ** 2.5 + u ** 2.5),
         h=lambda x: jnp.asarray(1.0, dtype),
-        W=lambda k: noise * eye,
+        W=lambda k: jnp.asarray(noise * eye, dtype),
         N=N,
     )
 
@@ -68,8 +78,8 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
     RAT iLQR paper evaluates on (``README.md:20-25``; the repo itself ships
     only analytic fixtures, SURVEY.md §6).  State ``(px, py, heading)``,
     control ``(v, ω)``; additive Gaussian position/heading noise."""
-    g = jnp.asarray(list(goal) + [0.0], dtype)
-    Wm = noise * jnp.eye(3, dtype=dtype)
+    g = np.asarray(list(goal) + [0.0])
+    W_np = noise * np.eye(3)
 
     def f(x, u):
         px, py, th = x[0], x[1], x[2]
@@ -79,14 +89,15 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
                           th + dt * om])
 
     def c(k, x, u):
-        dx = x - g
+        dx = x - jnp.asarray(g, x.dtype)
         return 0.05 * (dx @ dx) + 0.05 * (u @ u)
 
     def h(x):
-        dx = x - g
+        dx = x - jnp.asarray(g, x.dtype)
         return 10.0 * (dx @ dx)
 
-    return RiskSensitiveProblem(f=f, c=c, h=h, W=lambda k: Wm, N=N)
+    return RiskSensitiveProblem(f=f, c=c, h=h,
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
 
 
 def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:
@@ -95,16 +106,16 @@ def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:
     a Gaussian ``N(0, 0.5I)`` while the true simulator is the GMM
     ``0.5·N(0, 0.5I) + 0.5·N(1, I)``.  ``use_true_model`` switches between
     them (static, so each variant compiles separately)."""
+    sqrt_half = 0.5 ** 0.5
 
     def f_stochastic(x, u, key, use_true_model=False):
         k1, k2 = jax.random.split(key)
         z = jax.random.normal(k1, x.shape, dtype=x.dtype)
         if use_true_model:
             pick = jax.random.bernoulli(k2, 0.5)
-            w = jnp.where(pick, jnp.ones_like(x) + z,
-                          jnp.sqrt(0.5).astype(x.dtype) * z)
+            w = jnp.where(pick, jnp.ones_like(x) + z, sqrt_half * z)
         else:
-            w = jnp.sqrt(0.5).astype(x.dtype) * z
+            w = sqrt_half * z
         return x + u + w
 
     return GenerativeProblem(

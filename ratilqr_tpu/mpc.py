@@ -86,7 +86,9 @@ class MPCDriver:
             key, k_plan, k_sim = jax.random.split(key, 3)
             t0 = time.perf_counter()
             res = self.plan(x, u_warm, k_plan)
-            jax.block_until_ready(res.value)
+            # Fetch (not block_until_ready — a no-op on the tunneled TPU
+            # backend) so plan_time_s measures real completion.
+            float(jnp.asarray(res.value).ravel()[0])
             dt = time.perf_counter() - t0
             u = affine_policy_control(x, res.x, res.l, res.L)
             steps.append(MPCStep(x=x, u=u, value=res.value, plan_time_s=dt,

@@ -1,0 +1,68 @@
+"""Fully-jitted RAT iLQR tests: single-dispatch solve semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratilqr_tpu import CrossEntropyConfig, ileqg_solve
+from ratilqr_tpu.models import nonlinear_toy
+from ratilqr_tpu.solvers import ratilqr, ratilqr_jit
+
+
+def _fixture():
+    prob = nonlinear_toy(N=10)
+    return prob, jnp.zeros(2, jnp.float64), 0.1 * jnp.ones((10, 2),
+                                                           jnp.float64)
+
+
+def test_jit_solve_end_to_end():
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=4)
+    state = ratilqr.init_state(config)
+    res = ratilqr_jit.solve(prob, config, state, x0, u0,
+                            jax.random.key(12344), 1.0)
+    assert np.isfinite(float(res.value))
+    assert float(res.theta_opt) > 0.0
+    assert 0.0 < float(res.theta_min) <= float(res.theta_max)
+    # Warm-start state usable for the next re-plan within the same jit.
+    res2 = ratilqr_jit.solve(prob, config, res.state, x0, u0,
+                             jax.random.key(5), 1.0)
+    assert np.isfinite(float(res2.value))
+
+
+def test_jit_kl_zero_matches_ilqg():
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=4)
+    state = ratilqr.init_state(config)
+    res = ratilqr_jit.solve(prob, config, state, x0, u0, jax.random.key(0),
+                            0.0)
+    ref = ileqg_solve(prob, config.ileqg, x0, u0, 0.0)
+    assert float(res.theta_opt) == 0.0
+    np.testing.assert_allclose(float(res.value), float(ref.value),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.l), np.asarray(ref.l),
+                               rtol=1e-12)
+
+
+def test_jit_feasibility_redraw_shrinks_inits():
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=4, num_elite=2, mu_init=500.0,
+                                sigma_init=1.0)
+    state = ratilqr.init_state(config)
+    res = ratilqr_jit.solve(prob, config, state, x0, u0, jax.random.key(3),
+                            1.0)
+    assert np.isfinite(float(res.value))
+    assert float(res.state.mu_init) < 500.0
+
+
+def test_jit_value_comparable_to_host_path():
+    # Same distribution family + same budget: jitted and host solves should
+    # land in the same objective ballpark (RNG streams differ by design).
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=6)
+    v_host = float(ratilqr.solve(prob, config, ratilqr.init_state(config),
+                                 x0, u0, jax.random.key(7),
+                                 kl_bound=1.0).value)
+    v_jit = float(ratilqr_jit.solve(prob, config,
+                                    ratilqr.init_state(config), x0, u0,
+                                    jax.random.key(7), 1.0).value)
+    assert abs(v_host - v_jit) / abs(v_host) < 0.5
