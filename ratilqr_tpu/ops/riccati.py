@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ratilqr_tpu.ops import smallmat
 from ratilqr_tpu.ops.approx import Approximation, _sym
 
 Array = jnp.ndarray
@@ -80,16 +81,17 @@ def decrease_mu_delta(mu: Array, delta: Array, mu_min: float,
 
 
 def _chol_ok(chol: Array) -> Array:
-    """PSD test: Cholesky succeeded iff every entry is finite.
+    """PSD test: Cholesky succeeded iff the factor is finite.
 
-    Counterpart of Julia ``isposdef`` (``ileqg.jl:366,372``); XLA's cholesky
-    fills failed factorizations with NaN instead of raising.
+    Counterpart of Julia ``isposdef`` (``ileqg.jl:366,372``); the closed-form
+    factorization yields NaN (sqrt of a negative) instead of raising.
     """
-    return jnp.all(jnp.isfinite(chol))
+    return smallmat.chol_ok(chol)
 
 
 def _riccati_core(approx: Approximation, theta: Array, mu: Array,
-                  L_traj: Optional[Array], dl_traj: Optional[Array]
+                  L_traj: Optional[Array], dl_traj: Optional[Array],
+                  unroll: int = 1
                   ) -> Tuple[DPResult, Array, Array, Array, Array]:
     """One full backward pass, shared by the optimizing and evaluating modes.
 
@@ -121,16 +123,17 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
         else:
             q, q_vec, Q, r, R, P, A, B, W, W_inv, logdet_W, L, dl = inp
 
-        # M = W⁻¹ − θ S_{t+1}   (ileqg.jl:365); PSD via Cholesky.
+        # M = W⁻¹ − θ S_{t+1}   (ileqg.jl:365); PSD via closed-form
+        # Cholesky (ops/smallmat.py) — pure VPU arithmetic, no custom call.
         M = _sym(W_inv - theta * S)
-        M_chol = jnp.linalg.cholesky(M)
+        M_chol = smallmat.cholesky(M)
         m_ok = _chol_ok(M_chol)
         # Latch the *first* failure in backward order (ref throws here).
         m_fail = m_fail | (~failed & ~m_ok)
 
         # D = I + θ S_{t+1} M⁻¹  (ileqg.jl:367).  S, M symmetric ⇒
         # S M⁻¹ = (M⁻¹ S)ᵀ, one triangular solve instead of an inverse.
-        MinvS = jax.scipy.linalg.cho_solve((M_chol, True), S)
+        MinvS = smallmat.cho_solve_mat(M_chol, S)
         D = eye_n + theta * MinvS.T
         DS = D @ S
 
@@ -139,19 +142,19 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
         H = _sym(R + B.T @ DS @ B + mu * eye_m)        # ileqg.jl:370-371
 
         if optimizing:
-            H_chol = jnp.linalg.cholesky(H)
+            H_chol = smallmat.cholesky(H)
             h_ok = _chol_ok(H_chol)
             h_fail = h_fail | (~failed & ~m_fail & ~h_ok)
             # L = −H⁻¹G, dl = −H⁻¹g  (ileqg.jl:379-382).
-            L = -jax.scipy.linalg.cho_solve((H_chol, True), G)
-            dl = -jax.scipy.linalg.cho_solve((H_chol, True), g)
+            L = -smallmat.cho_solve_mat(H_chol, G)
+            dl = -smallmat.cho_solve_vec(H_chol, g)
 
         Hdl = H @ dl
         s_new = q + s + 0.5 * dl @ Hdl + dl @ g        # ileqg.jl:383
         # Risk term: θ=0 → ½tr(W S') (ileqg.jl:385);
         # θ>0 → θ/2 s⃗ᵀM⁻¹s⃗ − 1/(2θ)·logdet(WM) (ileqg.jl:387).
-        Minv_svec = jax.scipy.linalg.cho_solve((M_chol, True), s_vec)
-        logdet_M = 2.0 * jnp.sum(jnp.log(jnp.diagonal(M_chol)))
+        Minv_svec = smallmat.cho_solve_vec(M_chol, s_vec)
+        logdet_M = smallmat.cho_logdet(M_chol)
         risk_neutral = 0.5 * jnp.trace(W @ S)
         risk_sensitive = (0.5 * theta * (s_vec @ Minv_svec)
                           - (logdet_W + logdet_M) / (2.0 * theta_safe))
@@ -172,7 +175,8 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
     if not optimizing:
         xs = xs + (L_traj, dl_traj)
 
-    (_, _, _, m_fail, h_fail), ys = lax.scan(step, init, xs, reverse=True)
+    (_, _, _, m_fail, h_fail), ys = lax.scan(step, init, xs, reverse=True,
+                                             unroll=unroll)
     s_s, s_vec_s, S_s, g_s, G_s, H_s, L_out, dl_out = ys
 
     dp = DPResult(
@@ -185,7 +189,7 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
 
 def dp_evaluate(approx: Approximation, L_traj: Array,
                 dl_traj: Optional[Array] = None, *, theta: Array,
-                mu: Array) -> Tuple[DPResult, Array]:
+                mu: Array, unroll: int = 1) -> Tuple[DPResult, Array]:
     """Policy-evaluating backward pass under fixed gains.
 
     Counterpart of ``solve_approximate_dp`` (``ileqg.jl:412-465``).  Returns
@@ -194,13 +198,14 @@ def dp_evaluate(approx: Approximation, L_traj: Array,
     """
     theta = jnp.asarray(theta, approx.A.dtype)
     mu = jnp.asarray(mu, approx.A.dtype)
-    dp, _, _, m_fail, _ = _riccati_core(approx, theta, mu, L_traj, dl_traj)
+    dp, _, _, m_fail, _ = _riccati_core(approx, theta, mu, L_traj, dl_traj,
+                                        unroll)
     return dp, m_fail
 
 
 def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
                 delta: Array, mu_min: float, delta_0: float,
-                max_restarts: int = MAX_MU_RESTARTS
+                max_restarts: int = MAX_MU_RESTARTS, unroll: int = 1
                 ) -> Tuple[DPResult, Array, Array, Array, Array, Array]:
     """Policy-optimizing backward pass with the μ-restart retry loop.
 
@@ -218,7 +223,7 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
     delta = jnp.asarray(delta, dtype)
 
     def run(mu_v):
-        return _riccati_core(approx, theta, mu_v, None, None)
+        return _riccati_core(approx, theta, mu_v, None, None, unroll)
 
     dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
     state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,

@@ -42,7 +42,8 @@ def rollout_open_loop(problem: RiskSensitiveProblem, x0: Array,
 
 
 def rollout_open_loop_with_jac(problem: RiskSensitiveProblem, x0: Array,
-                               u_traj: Array) -> Tuple[Array, Array, Array]:
+                               u_traj: Array,
+                               unroll: int = 1) -> Tuple[Array, Array, Array]:
     """Open-loop rollout also collecting dynamics Jacobians ``A_t, B_t``.
 
     Counterpart of the ``f_returns_jacobian=true`` branch of
@@ -65,7 +66,7 @@ def rollout_open_loop_with_jac(problem: RiskSensitiveProblem, x0: Array,
         x_next, A, B = fj(x, u)
         return x_next, (x_next, A, B)
 
-    _, (xs, As, Bs) = lax.scan(step, x0, u_traj)
+    _, (xs, As, Bs) = lax.scan(step, x0, u_traj, unroll=unroll)
     return jnp.concatenate([x0[None], xs], axis=0), As, Bs
 
 
@@ -115,7 +116,7 @@ def rollout_feedback(problem: RiskSensitiveProblem, x_ref: Array,
 
 def rollout_feedback_with_jac(
         problem: RiskSensitiveProblem, x_ref: Array, l_traj: Array,
-        L_traj: Array) -> Tuple[Array, Array, Array, Array]:
+        L_traj: Array, unroll: int = 1) -> Tuple[Array, Array, Array, Array]:
     """Closed-loop rollout also collecting Jacobians ``A_t, B_t``
     (``ileqg.jl:71-79``).  Returns ``(x_traj, u_traj, A, B)``."""
     if problem.has_jacobian:
@@ -133,7 +134,8 @@ def rollout_feedback_with_jac(
         return x_next, (x_next, u, A, B)
 
     x0 = x_ref[0]
-    _, (xs, us, As, Bs) = lax.scan(step, x0, (x_ref[:-1], l_traj, L_traj))
+    _, (xs, us, As, Bs) = lax.scan(step, x0, (x_ref[:-1], l_traj, L_traj),
+                                   unroll=unroll)
     return jnp.concatenate([x0[None], xs], axis=0), us, As, Bs
 
 

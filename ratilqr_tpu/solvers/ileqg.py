@@ -103,10 +103,10 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
          hist_n) = carry
         l_cand = state.l + eps * dl
         x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
-            problem, state.x, l_cand, state.L)
+            problem, state.x, l_cand, state.L, unroll=config.scan_unroll)
         approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
         dp_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
-                                   mu=state.mu)
+                                   mu=state.mu, unroll=config.scan_unroll)
         value_new = dp_new.value
         evaluated = ~fail
 
@@ -161,7 +161,8 @@ def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
     approx = approximate_model(problem, state.l, state.x, state.A, state.B)
     _, L_new, dl, mu, delta, fail_opt = dp_optimize(
         approx, theta=theta, mu=state.mu, delta=state.delta,
-        mu_min=config.mu_min, delta_0=config.delta_0)
+        mu_min=config.mu_min, delta_0=config.delta_0,
+        unroll=config.scan_unroll)
     state = state._replace(L=L_new, mu=mu, delta=delta,
                            iterations=state.iterations + 1,
                            failed=state.failed | fail_opt)
@@ -180,11 +181,13 @@ def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
     dtype = x0.dtype
     N = u_init.shape[0]
     n, m = x0.shape[0], u_init.shape[1]
-    x, A, B = rollout_open_loop_with_jac(problem, x0, u_init)
+    x, A, B = rollout_open_loop_with_jac(problem, x0, u_init,
+                                         unroll=config.scan_unroll)
     L = jnp.zeros((N, m, n), dtype)
     approx = approximate_model(problem, u_init, x, A, B)
     dp, fail = dp_evaluate(approx, L, None, theta=theta,
-                           mu=jnp.zeros((), dtype))
+                           mu=jnp.zeros((), dtype),
+                           unroll=config.scan_unroll)
     return _State(
         x=x, l=u_init, L=L, A=A, B=B, value=dp.value,
         mu=jnp.zeros((), dtype), delta=jnp.asarray(config.delta_0, dtype),

@@ -21,6 +21,7 @@ import jax  # noqa: E402
 # tunnel round-trips per eager op).  Override it back to genuine CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache — repeated pytest runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# NOTE: do NOT enable the persistent compilation cache here — reloading
+# cached XLA:CPU AOT executables segfaults on this VM (machine-feature
+# mismatch: "+prefer-no-scatter is not supported on the host machine").
+# The cache is only used for the slow tunneled TPU compiles (bench.py).

@@ -172,3 +172,16 @@ def test_mu_restart_regularizes_indefinite_hessian():
     H = np.asarray(dp.H)
     for t in range(5):
         assert np.all(np.linalg.eigvalsh(H[t]) > 0)
+
+
+def test_scan_unroll_bit_identical(lqr):
+    # scan_unroll is a pure scheduling knob: results must match unroll=1.
+    prob, x, u, ap = lqr
+    a = dp_optimize(ap, theta=0.1, mu=0.0, delta=2.0, mu_min=1e-6,
+                    delta_0=2.0, unroll=1)
+    b = dp_optimize(ap, theta=0.1, mu=0.0, delta=2.0, mu_min=1e-6,
+                    delta_0=2.0, unroll=5)
+    np.testing.assert_allclose(np.asarray(a[0].s), np.asarray(b[0].s),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-12)
