@@ -9,7 +9,8 @@ of process fan-out, mesh-sharded sampling instead of Julia ``Distributed``.
 
 from ratilqr_tpu.config import (CrossEntropyConfig, ILEQGConfig,
                                 NelderMeadConfig, PETSConfig)
-from ratilqr_tpu.problems import GenerativeProblem, RiskSensitiveProblem
+from ratilqr_tpu.problems import (GenerativeProblem, OptimalControlProblem,
+                                  RiskSensitiveProblem)
 from ratilqr_tpu.ops import (Approximation, DPResult, approximate_model,
                              decrease_mu_delta, dp_evaluate, dp_optimize,
                              increase_mu_delta, integrate_cost,

@@ -27,8 +27,14 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+class OptimalControlProblem:
+    """Abstract base for optimal control problems — counterpart of the
+    reference's ``abstract type OptimalControlProblem``
+    (``optimal_control_problems.jl:12``)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class RiskSensitiveProblem:
+class RiskSensitiveProblem(OptimalControlProblem):
     """Finite-horizon risk-sensitive optimal control problem.
 
     Counterpart of ``FiniteHorizonRiskSensitiveOptimalControlProblem``
@@ -68,7 +74,7 @@ class RiskSensitiveProblem:
 
 
 @dataclasses.dataclass(frozen=True)
-class GenerativeProblem:
+class GenerativeProblem(OptimalControlProblem):
     """Finite-horizon generative stochastic optimal control problem.
 
     Counterpart of ``FiniteHorizonGenerativeOptimalControlProblem``

@@ -242,6 +242,19 @@ def solve_value(problem: RiskSensitiveProblem, config: ILEQGConfig,
     return solve(problem, config, x0, u_init, theta).value
 
 
+# Public aliases mirroring the reference's exported solver internals
+# (src/RATiLQR.jl:28-41 exports initialize!, step!, line_search! alongside
+# solve!): the underscore-prefixed functions are the implementation names.
+ILEQGState = _State
+initialize = _initialize
+step = _step
+line_search = _line_search
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
 def make_batched_solver(problem: RiskSensitiveProblem, config: ILEQGConfig):
     """Build a jitted θ-bank solver: ``(x0, u_init, theta_batch) ->
     ILEQGResult`` batched over the leading axis of ``theta_batch``.
@@ -250,6 +263,9 @@ def make_batched_solver(problem: RiskSensitiveProblem, config: ILEQGConfig):
     fan-out (``cross_entropy_bilevel_optimization.jl:180-192``): all lanes
     run the full iLEQG solve simultaneously on one chip, with per-lane
     while-loop masking from vmap's batching rules.
+
+    Cached per ``(problem, config)`` so repeated MPC re-plans reuse the
+    compiled executable instead of building a fresh jit wrapper.
     """
     batched = jax.vmap(lambda x0, u, th: solve(problem, config, x0, u, th),
                        in_axes=(None, None, 0))

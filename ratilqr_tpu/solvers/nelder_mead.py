@@ -76,6 +76,10 @@ def _make_cost(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     return cost
 
 
+# Reference-exported name (compute_cost_worker, nm...jl:134).
+make_cost = _make_cost
+
+
 def step(config: NelderMeadConfig, state: NMState, cost,
          verbose: bool = False) -> NMState:
     """One Nelder-Mead iteration (``step!``, ref :174-252): sort, reflect,

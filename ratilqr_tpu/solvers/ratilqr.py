@@ -87,9 +87,16 @@ def get_positive_samples(key: Array, mu: Array, sigma: Array,
     return mu + sigma * z
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
 def make_cost_fn(problem: RiskSensitiveProblem, config: CrossEntropyConfig):
     """Jitted batched outer objective: ``cost(θ) = ileqg_value(θ) +
-    kl_bound/θ`` (``…:193``) over a θ-bank."""
+    kl_bound/θ`` (``…:193``) over a θ-bank.
+
+    Cached per ``(problem, config)`` so MPC re-plans don't rebuild (and
+    recompile) the bank every ``solve`` call."""
     bank = make_batched_solver(problem, config.ileqg)
 
     def cost_fn(x0, u_init, thetas, kl_bound):
