@@ -187,6 +187,86 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
     return dp, L_out, dl_out, m_fail, h_fail
 
 
+# --- Pallas bank dispatch -------------------------------------------------
+#
+# When a whole bank of Riccati passes runs under `vmap` on TPU, the fused
+# Pallas kernel (ops/riccati_pallas.py) replaces the vmapped scan: ~5x
+# faster on-device and tighter f32 accuracy (2e-5 vs 1e-2 rel-dev against
+# an f64 oracle, measured at T=100).  `jax.custom_batching.custom_vmap`
+# keeps the per-example semantics identical — unbatched calls and non-TPU
+# backends take the scan path.
+
+import os as _os
+
+
+def _pallas_eligible(axis_size: int, dtype) -> bool:
+    if _os.environ.get("RATILQR_DISABLE_PALLAS") == "1":
+        return False
+    if _os.environ.get("RATILQR_FORCE_PALLAS") == "1":
+        return True
+    return (jax.default_backend() in ("tpu", "axon")
+            and dtype == jnp.float32
+            and axis_size >= int(_os.environ.get(
+                "RATILQR_PALLAS_MIN_LANES", "256")))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
+def _make_core(optimizing: bool, unroll: int):
+    """Build the custom_vmap-wrapped Riccati core for one mode/unroll."""
+    if optimizing:
+        def core(approx, theta, mu):
+            return _riccati_core(approx, theta, mu, None, None, unroll)
+    else:
+        def core(approx, theta, mu, L_traj, dl_traj):
+            return _riccati_core(approx, theta, mu, L_traj, dl_traj, unroll)
+
+    cv = jax.custom_batching.custom_vmap(core)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            if b:
+                return x
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
+        approx_b, theta_b, mu_b = args_b[0], args_b[1], args_b[2]
+        dtype = approx_b.A.dtype
+        if _pallas_eligible(axis_size, dtype):
+            from ratilqr_tpu.ops.riccati_pallas import riccati_bank
+            if optimizing:
+                bank = riccati_bank(approx_b, theta_b, mu_b)
+            else:
+                bank = riccati_bank(approx_b, theta_b, mu_b, args_b[3],
+                                    args_b[4])
+            dp = DPResult(
+                s=jnp.concatenate(
+                    [bank.s, approx_b.q_term[:, None]], axis=1),
+                s_vec=jnp.concatenate(
+                    [bank.s_vec, approx_b.q_vec_term[:, None]], axis=1),
+                S=jnp.concatenate(
+                    [bank.S, approx_b.Q_term[:, None]], axis=1),
+                g=bank.g, G=bank.G, H=bank.H)
+            out = (dp, bank.L, bank.dl, bank.m_fail, bank.h_fail)
+        else:
+            out = jax.vmap(core)(*args_b)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return cv
+
+
+def _core_dispatch(approx, theta, mu, L_traj, dl_traj, unroll):
+    if L_traj is None:
+        return _make_core(True, unroll)(approx, theta, mu)
+    if dl_traj is None:
+        dl_traj = jnp.zeros((approx.N, approx.B.shape[-1]), approx.A.dtype)
+    return _make_core(False, unroll)(approx, theta, mu, L_traj, dl_traj)
+
+
 def dp_evaluate(approx: Approximation, L_traj: Array,
                 dl_traj: Optional[Array] = None, *, theta: Array,
                 mu: Array, unroll: int = 1) -> Tuple[DPResult, Array]:
@@ -198,8 +278,8 @@ def dp_evaluate(approx: Approximation, L_traj: Array,
     """
     theta = jnp.asarray(theta, approx.A.dtype)
     mu = jnp.asarray(mu, approx.A.dtype)
-    dp, _, _, m_fail, _ = _riccati_core(approx, theta, mu, L_traj, dl_traj,
-                                        unroll)
+    dp, _, _, m_fail, _ = _core_dispatch(approx, theta, mu, L_traj,
+                                         dl_traj, unroll)
     return dp, m_fail
 
 
@@ -223,7 +303,7 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
     delta = jnp.asarray(delta, dtype)
 
     def run(mu_v):
-        return _riccati_core(approx, theta, mu_v, None, None, unroll)
+        return _core_dispatch(approx, theta, mu_v, None, None, unroll)
 
     dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
     state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,

@@ -1,0 +1,438 @@
+"""Pallas TPU kernel: fused batched risk-sensitive Riccati backward pass.
+
+The Riccati recursion is the numerical heart of every solver in this
+framework (``ops/riccati.py``, mirroring ``ileqg.jl:328-488``).  The XLA
+path runs it as a ``lax.scan`` of small batched ops; this kernel fuses the
+*entire* backward pass — all T steps of the small-matrix algebra, for a
+whole bank of lanes — into a single Mosaic program:
+
+  - **Layout**: lane-last.  Every matrix element is an ``(8, 128)`` float32
+    tile (one full VPU register) holding 1024 bank lanes; matrices are
+    ``(n, n, 8, 128)`` blocks.  All algebra (matmuls, Cholesky, triangular
+    solves) unrolls over the small static dims as element-wise VPU ops —
+    the same closed-form formulas as ``ops/smallmat.py``.
+  - **Grid**: ``(lane_tiles, T)``.  The time dimension walks *backward*
+    via the BlockSpec index map; the value-function carry ``(s, s⃗, S)``
+    and the latched failure masks live in VMEM scratch that persists
+    across grid steps, while Pallas double-buffers the per-step input
+    slices HBM→VMEM.
+  - **Failure semantics**: identical to the scan path — the first failed
+    Cholesky (M → neurotic breakdown, H → μ-restart request) latches a
+    per-lane mask; NaNs thereafter are don't-cares.
+
+The kernel handles both the policy-optimizing pass (``solve_approximate_
+dp!``) and the policy-evaluating pass (``solve_approximate_dp``) via a
+static flag.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+LANE_TILE = (8, 128)
+LANES = LANE_TILE[0] * LANE_TILE[1]   # 1024 bank lanes per grid row
+
+
+# --- tiny-matrix algebra on (p, q, 8, 128) lane-tiled blocks -------------
+
+def _mat(rows):
+    return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+
+def _mmul(a: Array, b: Array) -> Array:
+    """(p, q, 8, 128) @ (q, r, 8, 128) -> (p, r, 8, 128), unrolled."""
+    p, q = a.shape[0], a.shape[1]
+    r = b.shape[1]
+    return _mat([[sum(a[i, k] * b[k, j] for k in range(q))
+                  for j in range(r)] for i in range(p)])
+
+
+def _mvec(a: Array, v: Array) -> Array:
+    """(p, q, 8, 128) @ (q, 8, 128) -> (p, 8, 128)."""
+    p, q = a.shape[0], a.shape[1]
+    return jnp.stack([sum(a[i, k] * v[k] for k in range(q))
+                      for i in range(p)], 0)
+
+
+def _t(a: Array) -> Array:
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _sym(a: Array) -> Array:
+    return 0.5 * (a + _t(a))
+
+
+def _dot(u: Array, v: Array) -> Array:
+    """(q, 8, 128) · (q, 8, 128) -> (8, 128)."""
+    return sum(u[k] * v[k] for k in range(u.shape[0]))
+
+
+def _chol(M: Array) -> Array:
+    """Closed-form Cholesky on a (n, n, 8, 128) block (NaN on failure)."""
+    n = M.shape[0]
+    L = [[None] * n for _ in range(n)]
+    z = jnp.zeros_like(M[0, 0])
+    for i in range(n):
+        for j in range(i + 1):
+            acc = M[i, j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = jnp.sqrt(acc) if i == j else acc / L[j][j]
+    return _mat([[L[i][j] if j <= i else z for j in range(n)]
+                 for i in range(n)])
+
+
+def _chol_ok_mask(L: Array) -> Array:
+    """(8, 128) boolean mask: factorization finite on this lane."""
+    n = L.shape[0]
+    ok = jnp.isfinite(L[0, 0])
+    for i in range(1, n):
+        ok = ok & jnp.isfinite(L[i, i])
+    return ok
+
+
+def _cho_solve_vec(L: Array, b: Array) -> Array:
+    """M⁻¹ b via forward+back substitution; b is (n, 8, 128)."""
+    n = L.shape[0]
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - L[i, k] * y[k]
+        y[i] = acc / L[i, i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k, i] * x[k]
+        x[i] = acc / L[i, i]
+    return jnp.stack(x, 0)
+
+
+def _cho_solve_mat(L: Array, B: Array) -> Array:
+    """M⁻¹ B column-by-column; B is (n, p, 8, 128)."""
+    p = B.shape[1]
+    return jnp.stack([_cho_solve_vec(L, B[:, j]) for j in range(p)], 1)
+
+
+def _cho_logdet(L: Array) -> Array:
+    n = L.shape[0]
+    return 2.0 * sum(jnp.log(L[i, i]) for i in range(n))
+
+
+def _trace_prod(A: Array, B: Array) -> Array:
+    """tr(A @ B) for (n, n, 8, 128) blocks."""
+    n = A.shape[0]
+    return sum(A[i, j] * B[j, i] for i in range(n) for j in range(n))
+
+
+# --- the kernel ----------------------------------------------------------
+
+def _riccati_kernel(optimizing: bool, T: int,
+                    # inputs (per grid step unless noted)
+                    q_ref, qv_ref, Q_ref, r_ref, R_ref, P_ref, A_ref, B_ref,
+                    W_ref, Wi_ref, ldW_ref, qT_ref, qvT_ref, QT_ref,
+                    theta_ref, mu_ref, L_in_ref, dl_in_ref,
+                    # outputs (per grid step unless noted)
+                    s_ref, svec_ref, S_ref, g_ref, G_ref, H_ref, L_ref,
+                    dl_ref, mfail_ref, hfail_ref,
+                    # scratch (persists across the T grid dimension)
+                    S_sc, svec_sc, s_sc, mfail_sc, hfail_sc):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        S_sc[...] = QT_ref[...]
+        svec_sc[...] = qvT_ref[...]
+        s_sc[...] = qT_ref[...]
+        mfail_sc[...] = jnp.zeros_like(mfail_sc)
+        hfail_sc[...] = jnp.zeros_like(hfail_sc)
+
+    theta = theta_ref[...]
+    mu = mu_ref[...]
+    theta_is_zero = theta == 0.0
+    theta_safe = jnp.where(theta_is_zero, jnp.ones_like(theta), theta)
+
+    S = S_sc[...]
+    s_vec = svec_sc[...]
+    s = s_sc[...]
+    m_fail = mfail_sc[...]
+    h_fail = hfail_sc[...]
+    failed = (m_fail + h_fail) > 0.0
+
+    q = q_ref[...]
+    q_vec = qv_ref[...]
+    Q = Q_ref[...]
+    r = r_ref[...]
+    R = R_ref[...]
+    P = P_ref[...]
+    A = A_ref[...]
+    B = B_ref[...]
+    W = W_ref[...]
+    W_inv = Wi_ref[...]
+    logdet_W = ldW_ref[...]
+
+    n = A.shape[0]
+    m = B.shape[1]
+
+    # M = W⁻¹ − θ S'  (ileqg.jl:365)
+    M = _sym(W_inv - theta[None, None] * S)
+    M_chol = _chol(M)
+    m_ok = _chol_ok_mask(M_chol)
+    m_fail = jnp.where(~failed & ~m_ok, 1.0, m_fail)
+
+    # D = I + θ S' M⁻¹ = I + θ (M⁻¹ S')ᵀ
+    MinvS = _cho_solve_mat(M_chol, S)
+    eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
+                        jnp.zeros_like(theta)) for j in range(n)]
+             for i in range(n)]
+    D = _mat(eye_b) + theta[None, None] * _t(MinvS)
+    DS = _mmul(D, S)
+
+    Bt = _t(B)
+    g = r + _mvec(Bt, _mvec(D, s_vec))                 # ileqg.jl:368
+    G = P + _mmul(_mmul(Bt, DS), A)                    # ileqg.jl:369
+    eye_m = _mat([[jnp.where(jnp.bool_(i == j), mu, jnp.zeros_like(mu))
+                   for j in range(m)] for i in range(m)])
+    H = _sym(R + _mmul(_mmul(Bt, DS), B) + eye_m)      # ileqg.jl:370-371
+
+    if optimizing:
+        H_chol = _chol(H)
+        h_ok = _chol_ok_mask(H_chol)
+        h_fail = jnp.where(~failed & ~(m_fail > 0) & ~h_ok, 1.0, h_fail)
+        L = -_cho_solve_mat(H_chol, G)                 # ileqg.jl:379
+        dl = -_cho_solve_vec(H_chol, g)                # ileqg.jl:381
+    else:
+        L = L_in_ref[...]
+        dl = dl_in_ref[...]
+
+    Hdl = _mvec(H, dl)
+    s_new = q + s + 0.5 * _dot(dl, Hdl) + _dot(dl, g)  # ileqg.jl:383
+    Minv_svec = _cho_solve_vec(M_chol, s_vec)
+    logdet_M = _cho_logdet(M_chol)
+    risk_neutral = 0.5 * _trace_prod(W, S)
+    risk_sensitive = (0.5 * theta * _dot(s_vec, Minv_svec)
+                      - (logdet_W + logdet_M) / (2.0 * theta_safe))
+    s_new = s_new + jnp.where(theta_is_zero, risk_neutral, risk_sensitive)
+
+    Lt = _t(L)
+    s_vec_new = (q_vec + _mvec(_t(A), _mvec(D, s_vec)) + _mvec(Lt, Hdl)
+                 + _mvec(Lt, g) + _mvec(_t(G), dl))    # ileqg.jl:389
+    S_new = _sym(Q + _mmul(_mmul(_t(A), DS), A) + _mmul(Lt, _mmul(H, L))
+                 + _mmul(Lt, G) + _mmul(_t(G), L))     # ileqg.jl:390-391
+
+    # per-step outputs
+    s_ref[...] = s_new
+    svec_ref[...] = s_vec_new
+    S_ref[...] = S_new
+    g_ref[...] = g
+    G_ref[...] = G
+    H_ref[...] = H
+    L_ref[...] = L
+    dl_ref[...] = dl
+
+    # carry
+    S_sc[...] = S_new
+    svec_sc[...] = s_vec_new
+    s_sc[...] = s_new
+    mfail_sc[...] = m_fail
+    hfail_sc[...] = h_fail
+
+    # final fail masks (written every step; last write wins)
+    mfail_ref[...] = m_fail
+    hfail_ref[...] = h_fail
+
+
+class BankDP(NamedTuple):
+    """Lane-batched DP result (leading axis = bank lane)."""
+    s: Array       # (B, T)      backward values s_t (t = 0..T-1)
+    s_vec: Array   # (B, T, n)
+    S: Array       # (B, T, n, n)
+    g: Array       # (B, T, m)
+    G: Array       # (B, T, m, n)
+    H: Array       # (B, T, m, m)
+    L: Array       # (B, T, m, n)
+    dl: Array      # (B, T, m)
+    m_fail: Array  # (B,) bool
+    h_fail: Array  # (B,) bool
+
+
+def _to_lanes(x: Array, B_pad: int) -> Array:
+    """(B, T, *dims) -> (T, *dims, tiles, 8, 128) lane-last layout."""
+    B = x.shape[0]
+    if B_pad != B:
+        pad = [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    # (B_pad, T, *d) -> (T, *d, B_pad)
+    x = jnp.moveaxis(x, 0, -1)
+    tiles = B_pad // LANES
+    return x.reshape(x.shape[:-1] + (tiles, LANE_TILE[0], LANE_TILE[1]))
+
+
+def _from_lanes(x: Array, B: int) -> Array:
+    """(T, *dims, tiles, 8, 128) -> (B, T, *dims)."""
+    x = x.reshape(x.shape[:-3] + (-1,))
+    x = jnp.moveaxis(x, -1, 0)
+    return x[:B]
+
+
+def riccati_bank(approx_b, theta: Array, mu: Array,
+                 L_in: Optional[Array] = None,
+                 dl_in: Optional[Array] = None) -> BankDP:
+    """Run the fused backward pass for a whole bank.
+
+    Args:
+      approx_b: an ``Approximation`` pytree with a leading bank axis ``B``
+        on every field (including the terminal entries).
+      theta, mu: ``(B,)`` per-lane parameters.
+      L_in, dl_in: fixed policy for the evaluating mode (``(B, T, m, n)`` /
+        ``(B, T, m)``); ``None`` → optimizing mode.
+
+    Lanes are padded up to a multiple of 1024 (8×128 VPU tiles); padded
+    lanes compute garbage that is sliced away.
+    """
+    optimizing = L_in is None
+    B, T = approx_b.q.shape[0], approx_b.q.shape[1]
+    n = approx_b.A.shape[-1]
+    m = approx_b.B.shape[-1]
+    dtype = approx_b.A.dtype
+    B_pad = max(LANES, ((B + LANES - 1) // LANES) * LANES)
+    tiles = B_pad // LANES
+
+    # Pad W_inv of padded lanes with identity so their Cholesky stays
+    # finite (keeps NaN-latching semantics clean even though padded lanes
+    # are discarded).
+    def prep(x):
+        return _to_lanes(jnp.asarray(x, dtype), B_pad)
+
+    q = prep(approx_b.q)
+    qv = prep(approx_b.q_vec)
+    Q = prep(approx_b.Q)
+    r = prep(approx_b.r)
+    R = prep(approx_b.R)
+    P = prep(approx_b.P)
+    A = prep(approx_b.A)
+    Bm = prep(approx_b.B)
+    W = prep(approx_b.W)
+    eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype),
+                               (B_pad - B, T, n, n)) if B_pad > B else None
+    Wi_full = jnp.asarray(approx_b.W_inv, dtype)
+    if eye_pad is not None:
+        Wi_full = jnp.concatenate([Wi_full, eye_pad], axis=0)
+    Wi = _to_lanes(Wi_full, B_pad)
+    ldW = prep(approx_b.logdet_W)
+    # terminal entries: (B, ...) -> (..., tiles, 8, 128)
+    qT = _to_lanes(approx_b.q_term[:, None], B_pad)[0]
+    qvT = _to_lanes(approx_b.q_vec_term[:, None], B_pad)[0]
+    QT = _to_lanes(approx_b.Q_term[:, None], B_pad)[0]
+    th = _to_lanes(theta.astype(dtype)[:, None], B_pad)[0]
+    mu_l = _to_lanes(mu.astype(dtype)[:, None], B_pad)[0]
+    if optimizing:
+        L_l = jnp.zeros((T, m, n, tiles) + LANE_TILE, dtype)
+        dl_l = jnp.zeros((T, m, tiles) + LANE_TILE, dtype)
+    else:
+        L_l = prep(L_in)
+        dl_l = prep(dl_in)
+
+    S8, L8 = LANE_TILE
+
+    def bspec(*dims, time=True, rev=True):
+        """BlockSpec walking one t-slice per grid step (backward).
+
+        ``None`` block entries squeeze the singleton time/tile axes so the
+        kernel sees plain ``(*dims, 8, 128)`` blocks."""
+        if time:
+            blk = (None,) + dims + (None, S8, L8)
+
+            def imap(bi, ti):
+                t = (T - 1 - ti) if rev else ti
+                return (t,) + (0,) * len(dims) + (bi, 0, 0)
+        else:
+            blk = dims + (None, S8, L8)
+
+            def imap(bi, ti):
+                return (0,) * len(dims) + (bi, 0, 0)
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_riccati_kernel, optimizing, T)
+
+    grid = (tiles, T)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, tiles, S8, L8), dtype),            # s
+        jax.ShapeDtypeStruct((T, n, tiles, S8, L8), dtype),         # s_vec
+        jax.ShapeDtypeStruct((T, n, n, tiles, S8, L8), dtype),      # S
+        jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # g
+        jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # G
+        jax.ShapeDtypeStruct((T, m, m, tiles, S8, L8), dtype),      # H
+        jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # L
+        jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # dl
+        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # m_fail
+        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # h_fail
+    )
+    out_specs = (
+        bspec(), bspec(n), bspec(n, n), bspec(m), bspec(m, n),
+        bspec(m, m), bspec(m, n), bspec(m),
+        bspec(time=False), bspec(time=False),
+    )
+    in_specs = [
+        bspec(),            # q
+        bspec(n),           # q_vec
+        bspec(n, n),        # Q
+        bspec(m),           # r
+        bspec(m, m),        # R
+        bspec(m, n),        # P
+        bspec(n, n),        # A
+        bspec(n, m),        # B
+        bspec(n, n),        # W
+        bspec(n, n),        # W_inv
+        bspec(),            # logdet_W
+        bspec(time=False),        # q_term
+        bspec(n, time=False),     # q_vec_term
+        bspec(n, n, time=False),  # Q_term
+        bspec(time=False),        # theta
+        bspec(time=False),        # mu
+        bspec(m, n),        # L_in
+        bspec(m),           # dl_in
+    ]
+    scratch = [
+        pltpu.VMEM((n, n, S8, L8), dtype),   # S carry
+        pltpu.VMEM((n, S8, L8), dtype),      # s_vec carry
+        pltpu.VMEM((S8, L8), dtype),         # s carry
+        pltpu.VMEM((S8, L8), dtype),         # m_fail mask
+        pltpu.VMEM((S8, L8), dtype),         # h_fail mask
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )
+    # Under jax_enable_x64 the grid/index machinery traces with i64, which
+    # Mosaic cannot legalize; the kernel itself is pure f32/i32, so trace
+    # it with x64 locally disabled.
+    with jax.enable_x64(False):
+        outs = call(q, qv, Q, r, R, P, A, Bm, W, Wi, ldW, qT, qvT, QT, th,
+                    mu_l, L_l, dl_l)
+
+    s, s_vec, S, g, G, H, L, dl, mfail, hfail = outs
+    unl = lambda x: _from_lanes(x, B)
+    mf = _from_lanes(mfail[None], B)[:, 0] > 0
+    hf = _from_lanes(hfail[None], B)[:, 0] > 0
+    return BankDP(s=unl(s), s_vec=unl(s_vec), S=unl(S), g=unl(g), G=unl(G),
+                  H=unl(H), L=unl(L), dl=unl(dl), m_fail=mf, h_fail=hf)
+
+
+def _use_interpret() -> bool:
+    """Interpret mode off-TPU (CPU tests); compiled Mosaic on TPU."""
+    return jax.default_backend() not in ("tpu", "axon")
