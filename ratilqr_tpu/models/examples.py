@@ -100,6 +100,80 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
                                 W=lambda k: jnp.asarray(W_np, dtype), N=N)
 
 
+def cartpole(N: int = 50, dt: float = 0.05, noise: float = 1e-4,
+             dtype=jnp.float64) -> RiskSensitiveProblem:
+    """Cart-pole swing-up/balance (n=4, m=1): state
+    ``(x, ẋ, φ, φ̇)`` with φ=0 upright, control = horizontal force.
+    Exercises odd control dimension (m=1) and a stiffer nonlinearity than
+    the unicycle."""
+    mc, mp, lp, grav = 1.0, 0.1, 0.5, 9.81
+    W_np = noise * np.eye(4)
+
+    def f(x, u):
+        pos, vel, phi, om = x[0], x[1], x[2], x[3]
+        force = u[0]
+        sin, cos = jnp.sin(phi), jnp.cos(phi)
+        denom = mc + mp * sin ** 2
+        acc = (force + mp * sin * (lp * om ** 2 + grav * cos)) / denom
+        phi_acc = (-force * cos - mp * lp * om ** 2 * sin * cos
+                   - (mc + mp) * grav * sin) / (lp * denom)
+        return jnp.stack([pos + dt * vel, vel + dt * acc,
+                          phi + dt * om, om + dt * phi_acc])
+
+    def c(k, x, u):
+        return 0.1 * (x[0] ** 2 + x[1] ** 2 + 10.0 * x[2] ** 2
+                      + x[3] ** 2) + 0.05 * u[0] ** 2
+
+    def h(x):
+        return 10.0 * (x[0] ** 2 + x[1] ** 2 + 10.0 * x[2] ** 2
+                       + x[3] ** 2)
+
+    return RiskSensitiveProblem(f=f, c=c, h=h,
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
+
+
+def quadrotor(N: int = 50, dt: float = 0.02, noise: float = 1e-5,
+              goal=(1.0, 1.0, 1.0), dtype=jnp.float64
+              ) -> RiskSensitiveProblem:
+    """Simplified 12-state quadrotor (n=12, m=4): position, velocity,
+    attitude (roll/pitch/yaw) and body rates with small-angle rotational
+    kinematics; controls = total thrust offset + body torques.  Exercises
+    the top of the reference's dimensional range (SURVEY.md §7: n,m up to
+    ~13)."""
+    grav = 9.81
+    g_np = np.zeros(12)
+    g_np[0:3] = np.asarray(goal)
+    W_np = noise * np.eye(12)
+
+    def f(x, u):
+        pos, vel = x[0:3], x[3:6]
+        att, rate = x[6:9], x[9:12]          # roll, pitch, yaw + body rates
+        thrust = grav + u[0]
+        phi, th = att[0], att[1]
+        acc = jnp.stack([
+            thrust * jnp.sin(th),
+            -thrust * jnp.sin(phi) * jnp.cos(th),
+            thrust * jnp.cos(phi) * jnp.cos(th) - grav,
+        ])
+        return jnp.concatenate([
+            pos + dt * vel,
+            vel + dt * acc,
+            att + dt * rate,
+            rate + dt * u[1:4] * 20.0,
+        ])
+
+    def c(k, x, u):
+        dx = x - jnp.asarray(g_np, x.dtype)
+        return 0.05 * (dx @ dx) + 0.1 * (u @ u)
+
+    def h(x):
+        dx = x - jnp.asarray(g_np, x.dtype)
+        return 20.0 * (dx @ dx)
+
+    return RiskSensitiveProblem(f=f, c=c, h=h,
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
+
+
 def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:
     """Generative 2-D integrator with model mismatch
     (``optimal_control_problems.jl:102-116``): the solver's internal model is

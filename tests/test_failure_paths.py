@@ -1,0 +1,56 @@
+"""Failure-path coverage: budget exhaustion semantics that replace the
+reference's unbounded loops (SURVEY.md §7 'exceptions become masks')."""
+import jax.numpy as jnp
+import numpy as np
+
+from ratilqr_tpu import ILEQGConfig, ileqg_solve
+from ratilqr_tpu.problems import RiskSensitiveProblem
+
+
+def _overshoot_problem(N=8):
+    # sqrt-flattened cost: away from the origin its curvature vanishes, so
+    # the quadratic model grossly overestimates the step scale and the full
+    # Newton step (eps=1) overshoots far past the optimum -> first
+    # line-search trials are rejected and eps backtracks.
+    def bowl(x):
+        return jnp.sqrt(0.01 + x @ x)
+
+    return RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: bowl(x) + 1e-4 * (u @ u),
+        h=bowl,
+        W=lambda k: 0.01 * jnp.eye(2, dtype=jnp.float64),
+        N=N)
+
+
+def test_line_search_backtracks_on_overshoot():
+    prob = _overshoot_problem()
+    res = ileqg_solve(prob, ILEQGConfig(iter_max=3),
+                      jnp.ones(2, jnp.float64) * 5.0,
+                      jnp.zeros((8, 2), jnp.float64), 0.0)
+    assert not bool(res.failed)
+    hist = np.asarray(res.eps_history)[:int(res.eps_count)]
+    # at least one rejected trial (eps < 1 among accepted steps)
+    assert np.any(hist[:, 0] < 1.0)
+
+
+def test_ls_trial_cap_marks_failure():
+    # With a 1-trial budget the overshooting first step exhausts the line
+    # search -> lane declared failed with value Inf (the reference would
+    # keep halving eps forever).
+    prob = _overshoot_problem()
+    res = ileqg_solve(prob, ILEQGConfig(iter_max=1, ls_max_trials=1),
+                      jnp.ones(2, jnp.float64) * 5.0,
+                      jnp.zeros((8, 2), jnp.float64), 0.0)
+    assert bool(res.failed)
+    assert np.isinf(float(res.value))
+
+
+def test_eps_history_cap_saturates_without_error():
+    prob = _overshoot_problem()
+    cfg = ILEQGConfig(iter_max=5, eps_history_cap=2)
+    res = ileqg_solve(prob, cfg, jnp.ones(2, jnp.float64) * 5.0,
+                      jnp.zeros((8, 2), jnp.float64), 0.0)
+    assert not bool(res.failed)
+    assert res.eps_history.shape == (2, 2)
+    assert int(res.eps_count) >= 2  # counter keeps counting past the cap
