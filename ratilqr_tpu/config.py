@@ -41,6 +41,10 @@ class ILEQGConfig:
       eps_history_cap: static length of the (ε, Δvalue) diagnostics ring
         buffer replacing the reference's growing ``ϵ_history``
         (``ileqg.jl:187,537``).
+      verbose: emit per-iteration progress from inside the jitted solve
+        via ``jax.debug.print`` (counterpart of the reference's
+        verbose-gated println traces, SURVEY.md §5); static, so disabled
+        verbosity costs nothing.
       scan_unroll: unroll factor for the Riccati/rollout time scans.  On
         the TPU runtime each scan step pays fixed per-op dispatch overhead;
         unrolling lets XLA fuse across steps (pure perf knob — results are
@@ -59,6 +63,7 @@ class ILEQGConfig:
     ls_max_trials: int = 64
     eps_history_cap: int = 256
     scan_unroll: int = 1
+    verbose: bool = False
 
     def __post_init__(self):
         _check(0 < self.lam < 1, "lam must be in (0, 1)")

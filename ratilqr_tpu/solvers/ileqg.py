@@ -115,6 +115,10 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
 
         accept = evaluated & (isapprox(value_new, state.value)
                               | (value_new < state.value))
+        if config.verbose:
+            jax.debug.print(
+                "----line search eps={e:.6f} value={v:.4f} accept={a}",
+                e=eps, v=value_new, a=accept)
         eps_next = jnp.where(accept, eps, eps * lam)
         # ε_min reached → accept the already-evaluated candidate anyway.
         forced = evaluated & ~accept & (eps_next < config.eps_min)
@@ -223,6 +227,11 @@ def solve(problem: RiskSensitiveProblem, config: ILEQGConfig, x0: Array,
         s = _step(problem, config, s, theta)
         converged = (s.d_current < config.d_tol) & (s.mu <= config.mu_min)
         done = converged | (s.iterations >= config.iter_max) | s.failed
+        if config.verbose:
+            jax.debug.print(
+                "--iLEQG iter {i}: value={v:.4f} d={d:.5f} mu={m:.2e} "
+                "converged={c}", i=s.iterations, v=s.value, d=s.d_current,
+                m=s.mu, c=converged)
         return s._replace(done=done)
 
     state = lax.while_loop(cond, body, state)

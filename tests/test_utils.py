@@ -1,0 +1,62 @@
+"""utils coverage: checkpointing, profiling helpers, verbose solve."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig, ileqg_solve
+from ratilqr_tpu.models import lqr_problem
+from ratilqr_tpu.solvers import nelder_mead, ratilqr
+from ratilqr_tpu.utils.checkpoint import load_state, save_state
+from ratilqr_tpu.utils.profiling import PhaseTimer, time_fn
+
+
+def test_checkpoint_roundtrip_ce_state():
+    cfg = CrossEntropyConfig()
+    st = ratilqr.init_state(cfg)._replace(mu=jnp.asarray(3.5, jnp.float64))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ce.npz")
+        save_state(path, st)
+        st2 = load_state(path, ratilqr.init_state(cfg))
+    assert float(st2.mu) == 3.5
+    np.testing.assert_allclose(float(st2.sigma_init),
+                               float(st.sigma_init))
+
+
+def test_checkpoint_roundtrip_nm_state_with_none():
+    cfg = __import__("ratilqr_tpu").NelderMeadConfig()
+    st = nelder_mead.init_state(cfg)  # c_high/c_low are None
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nm.npz")
+        save_state(path, st)
+        st2 = load_state(path, nelder_mead.init_state(cfg))
+    assert st2.c_high is None and st2.c_low is None
+    assert st2.theta_high_init == st.theta_high_init
+
+
+def test_time_fn_fetches():
+    f = jax.jit(lambda x: x * 2.0)
+    stats = time_fn(f, jnp.ones(8), reps=2)
+    assert stats["best"] > 0 and stats["compile"] >= stats["best"] * 0
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+
+
+def test_verbose_solve_runs(capfd):
+    prob = lqr_problem(N=5)
+    res = ileqg_solve(prob, ILEQGConfig(verbose=True, iter_max=3),
+                      jnp.zeros(2, jnp.float64), jnp.ones((5, 2)), 0.0)
+    assert not bool(res.failed)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "iLEQG iter" in out
