@@ -110,13 +110,16 @@ def cartpole(N: int = 50, dt: float = 0.05, noise: float = 1e-4,
     W_np = noise * np.eye(4)
 
     def f(x, u):
+        # Classic cart-pole with φ measured from UPRIGHT (φ=0 unstable):
+        # gravity torque ∝ +sinφ destabilizes, so the controller must
+        # actively balance.
         pos, vel, phi, om = x[0], x[1], x[2], x[3]
         force = u[0]
         sin, cos = jnp.sin(phi), jnp.cos(phi)
-        denom = mc + mp * sin ** 2
-        acc = (force + mp * sin * (lp * om ** 2 + grav * cos)) / denom
-        phi_acc = (-force * cos - mp * lp * om ** 2 * sin * cos
-                   - (mc + mp) * grav * sin) / (lp * denom)
+        temp = (force + mp * lp * om ** 2 * sin) / (mc + mp)
+        phi_acc = ((grav * sin - cos * temp)
+                   / (lp * (4.0 / 3.0 - mp * cos ** 2 / (mc + mp))))
+        acc = temp - mp * lp * phi_acc * cos / (mc + mp)
         return jnp.stack([pos + dt * vel, vel + dt * acc,
                           phi + dt * om, om + dt * phi_acc])
 

@@ -56,13 +56,16 @@ class MPCDriver:
     Args:
       problem: the planning problem (the solver's model).
       plan: callable ``plan(x, u_warm, key) -> result`` where ``result`` has
-        ``.x``, ``.l``, ``.L`` and ``.value`` attributes — satisfied by the
-        stateful solver wrappers (``RATiLQRSolver.solve`` /
-        ``NelderMeadSolver.solve`` / a bound ``ileqg_solve``).  Warm-start
-        solver state lives inside the wrapper, exactly as the reference's
-        mutable solver structs do.
-      simulate: true-world transition ``simulate(x, u, key) -> x_next``; by
-        default the planning model plus noise ``w ~ N(0, W(k))``.
+        ``.x``, ``.l``, ``.L`` and ``.value`` attributes.
+        ``RATiLQRSolver.solve`` satisfies this directly; adapt the others
+        with a small lambda, e.g.
+        ``lambda x, u, key: ileqg_solve(problem, cfg, x, u, theta)`` or
+        ``lambda x, u, key: nm_solver.solve(x, u, kl_bound=d)``.
+        Warm-start solver state lives inside the wrapper, exactly as the
+        reference's mutable solver structs do.
+      simulate: true-world transition ``simulate(k, x, u, key) -> x_next``
+        (``k`` is the closed-loop step index); by default the planning
+        model plus noise ``w ~ N(0, W(k))``.
     """
     problem: RiskSensitiveProblem
     plan: Callable[[Array, Array, Array], Any]

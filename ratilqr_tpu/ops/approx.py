@@ -52,10 +52,9 @@ class Approximation(NamedTuple):
         return self.q.shape[0]
 
 
-def _sym(M: Array) -> Array:
-    """Symmetrize — counterpart of the reference's ``Symmetric`` wrapping of
-    AD Hessians (``ileqg.jl:270-273``)."""
-    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+# Symmetrize — counterpart of the reference's ``Symmetric`` wrapping of AD
+# Hessians (``ileqg.jl:270-273``); single shared implementation.
+from ratilqr_tpu.ops.smallmat import sym as _sym  # noqa: E402
 
 
 def approximate_model(problem: RiskSensitiveProblem, u_traj: Array,

@@ -112,8 +112,7 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
     theta_is_zero = theta == 0.0
     theta_safe = jnp.where(theta_is_zero, jnp.ones((), dtype), theta)
 
-    if dl_traj is None and not optimizing:
-        dl_traj = jnp.zeros((approx.N, m), dtype=dtype)
+    # dl_traj is always materialized by _core_dispatch in evaluating mode.
 
     def step(carry, inp):
         s, s_vec, S, m_fail, h_fail = carry

@@ -80,7 +80,10 @@ def compute_cost_shard_map(problem: GenerativeProblem, config: PETSConfig,
         # Mark replicated operands as device-varying up front so the scan
         # carry (which mixes them with the sharded controls) type-checks
         # under shard_map's varying-axes analysis.
-        x0_l = lax.pvary(x0_l, (SAMPLE_AXIS,))
+        if hasattr(lax, "pcast"):
+            x0_l = lax.pcast(x0_l, SAMPLE_AXIS, to="varying")
+        else:  # older JAX
+            x0_l = lax.pvary(x0_l, (SAMPLE_AXIS,))
         # Per-device deterministic stream: fold in the shard index
         # (the counter-based analogue of randjump's 10^20 stream jumps).
         idx = lax.axis_index(SAMPLE_AXIS)

@@ -47,8 +47,10 @@ class ILEQGResult(NamedTuple):
     l: Array             # (N, m)   nominal control schedule
     L: Array             # (N, m, n) feedback gains: π_k(x) = L_k(x−x_k)+l_k
     value: Array         # ()       optimal cost-to-go; +Inf if failed
-    eps_history: Array   # (cap, 2) ring buffer of (ε, Δvalue) per LS trial
-    eps_count: Array     # ()       number of valid eps_history entries
+    eps_history: Array   # (cap, 2) saturating buffer of (ε, Δvalue) per LS
+                         # trial: first cap−1 trials plus the most recent
+                         # one; eps_count counts ALL trials (may exceed cap)
+    eps_count: Array     # ()       total line-search trials recorded
     iterations: Array    # ()       iLEQG iterations executed
     d_final: Array       # ()       final max ‖Δl_t‖₂ error norm
     mu_final: Array      # ()       final regularization μ
@@ -75,7 +77,13 @@ class _State(NamedTuple):
 
 def _push_hist(hist: Array, count: Array, valid: Array, eps: Array,
                dval: Array) -> Tuple[Array, Array]:
-    """Append (ε, Δvalue) to the fixed-size history buffer when ``valid``."""
+    """Append (ε, Δvalue) to the saturating history buffer when ``valid``.
+
+    Once full, later entries overwrite the last slot (first ``cap−1``
+    trials + latest are retained) while the counter keeps the true total —
+    a bounded-memory stand-in for the reference's unbounded ``ϵ_history``
+    push (``ileqg.jl:537``).
+    """
     cap = hist.shape[0]
     idx = jnp.minimum(count, cap - 1)
     entry = jnp.stack([eps, dval]).astype(hist.dtype)

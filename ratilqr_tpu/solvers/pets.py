@@ -71,7 +71,8 @@ def compute_cost(problem: GenerativeProblem, config: PETSConfig, x0: Array,
     """
     K = control_sequences.shape[0]
     T = config.num_trajectory_samples
-    keys = jax.random.split(key, K * T).reshape(K, T)
+    # shape-tuple split works for both typed and legacy uint32 keys
+    keys = jax.random.split(key, (K, T))
 
     def one_rollout(u_seq, k):
         return rollout_generative(problem, x0, u_seq, k, use_true_model)[1]

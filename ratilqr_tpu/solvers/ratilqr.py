@@ -220,7 +220,13 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
                                        theta_opt)
         if not bool(res.failed):
             if kl_bound > 0:
-                value = res.value + kl_bound / theta_opt
+                # θ_opt can reach exactly 0 via the backoff (or θ_max with
+                # no feasible samples); the reference's kl_bound/0.0
+                # evaluates to Inf (Julia float semantics) — match it
+                # instead of raising ZeroDivisionError.
+                extra = (kl_bound / theta_opt if theta_opt > 0.0
+                         else float("inf"))
+                value = res.value + extra
                 tmin, tmax = state.theta_min, state.theta_max
             else:
                 value = res.value

@@ -169,9 +169,12 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
 
     value = jnp.where(kl_bound > 0, res.value + kl_bound / theta_opt,
                       res.value)
-    new_state = CEState(mu_init=mu_init, sigma_init=sigma_init, mu=mu,
-                        sigma=sigma, theta_min=tmin, theta_max=tmax,
-                        iter_current=config.iter_max)
+    new_state = CEState(
+        mu_init=mu_init, sigma_init=sigma_init, mu=mu, sigma=sigma,
+        theta_min=tmin, theta_max=tmax,
+        # 0 when the CE search never ran (kl_bound == 0), matching the
+        # host path's initialize!-only semantics.
+        iter_current=jnp.where(kl_bound > 0, config.iter_max, 0))
     return RATiLQRResult(theta_opt=theta_opt, x=res.x, l=res.l, L=res.L,
                          value=value, theta_min=tmin, theta_max=tmax,
                          state=new_state)

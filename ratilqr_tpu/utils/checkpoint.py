@@ -58,6 +58,10 @@ def load_state(path: str, like: Any) -> Any:
         raise ValueError(
             f"template has {len(like_leaves)} leaves, checkpoint has "
             f"{len(meta['kinds'])}")
+    if meta["treedef"] != str(treedef):
+        raise ValueError(
+            "checkpoint structure does not match the template: saved "
+            f"{meta['treedef']}, template {treedef}")
     leaves = []
     for i, (kind, tmpl) in enumerate(zip(meta["kinds"], like_leaves)):
         if kind == "none":
