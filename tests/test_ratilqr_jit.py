@@ -66,3 +66,37 @@ def test_jit_value_comparable_to_host_path():
                                     ratilqr.init_state(config), x0, u0,
                                     jax.random.key(7), 1.0).value)
     assert abs(v_host - v_jit) / abs(v_host) < 0.5
+
+
+def test_fleet_vmap_over_full_solve():
+    # Fleet MPC: vmap the entire single-dispatch RAT iLQR over robots —
+    # nested vmap (fleet x theta-bank) over every while_loop and the
+    # custom_vmap Riccati dispatch.
+    from ratilqr_tpu.models import unicycle
+
+    dt = jnp.float64
+    prob = unicycle(N=8, dtype=dt)
+    config = CrossEntropyConfig(num_samples=3, mu_init=0.005,
+                                sigma_init=0.01,
+                                ileqg=__import__("ratilqr_tpu").ILEQGConfig(
+                                    iter_max=4))
+    F = 4
+    states = jax.vmap(lambda _: ratilqr.init_state(config, dt))(
+        jnp.arange(F))
+    x0s = 0.2 * jax.random.normal(jax.random.key(0), (F, 3), dt)
+    u0 = jnp.zeros((8, 2), dt)
+    keys = jax.random.split(jax.random.key(1), F)
+    fleet = jax.jit(jax.vmap(
+        lambda st, x0, key: ratilqr_jit.solve(prob, config, st, x0, u0,
+                                              key, jnp.asarray(0.05, dt)),
+        in_axes=(0, 0, 0)))
+    res = fleet(states, x0s, keys)
+    assert res.value.shape == (F,)
+    assert np.all(np.isfinite(np.asarray(res.value)))
+    # each robot matches its individual solve
+    single = ratilqr_jit.solve(prob, config,
+                               jax.tree_util.tree_map(lambda a: a[0],
+                                                      states),
+                               x0s[0], u0, keys[0], jnp.asarray(0.05, dt))
+    np.testing.assert_allclose(float(res.value[0]), float(single.value),
+                               rtol=1e-9)
