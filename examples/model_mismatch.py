@@ -11,13 +11,18 @@ disturbance the model-based planners never see.  Compared controllers:
   - RAT iLQR       — auto-tunes θ from the KL ambiguity budget
   - PETS           — sampling-based CEM on the same wrong internal model
 
-Reports mean ± stderr of realized closed-loop cost across seeds, plus how
-often each fixed-θ planner hit neurotic breakdown and needed a risk-neutral
-fallback.  Typical outcome on this toy: the feedback controllers tie on
-realized cost, but the hand-picked θ breaks down on a large fraction of
-re-plans (RAT iLQR auto-tunes θ into the feasible range with zero
-fallbacks), and open-loop PETS is an order of magnitude worse under the
-drift + barrier.
+All four controllers optimize the SAME objective (quadratic + soft
+barrier).  Reports mean ± stderr of realized closed-loop cost across
+seeds, plus how often each fixed-θ planner hit neurotic breakdown and
+needed a risk-neutral fallback.  Typical outcome on this toy:
+
+  - the model-based feedback controllers tie on realized cost, but the
+    hand-picked θ hits neurotic breakdown on ~30% of re-plans (RAT iLQR
+    auto-tunes θ into the feasible range with zero fallbacks);
+  - PETS wins outright here: quadratizing the exp barrier hides its tail
+    risk from the Riccati-based planners, while Monte-Carlo rollouts see
+    it directly — the classic sampling-vs-quadratization trade the paper
+    discusses.
 
 Usage: PYTHONPATH=. python examples/model_mismatch.py [--cpu] [--seeds 8]
 """
@@ -67,6 +72,11 @@ def main():
     plan_prob = RiskSensitiveProblem(
         f=lambda x, u: x + u, c=c, h=h,
         W=lambda k: jnp.asarray(0.5 * np.eye(2), dtype), N=N)
+    # PETS plans on the SAME cost (incl. barrier) with the generative
+    # internal dynamics — only the planner class differs.
+    from ratilqr_tpu.problems import GenerativeProblem
+    gen_plan = GenerativeProblem(f_stochastic=gen.f_stochastic, c=c, h=h,
+                                 N=N)
 
     ileqg_cfg = ILEQGConfig(iter_max=20)
     stage_cost = lambda x, u: float(c(0, x, u))  # realized cost uses the same stage cost
@@ -103,7 +113,7 @@ def main():
         for k in range(args.episode):
             key, k_plan, k_sim = jax.random.split(key, 3)
             st = pets_mod.init_state(mu_warm, sig0)
-            out = pets_mod.solve(gen, config, x, st, k_plan)  # wrong model
+            out = pets_mod.solve(gen_plan, config, x, st, k_plan)  # wrong model
             u = out.mu[0]
             total += stage_cost(x, u)
             x = gen.f_stochastic(x, u, k_sim, True)
@@ -111,22 +121,26 @@ def main():
         return total
 
     x0 = jnp.asarray([-2.0, -2.0], dtype)
-    rat = RATiLQRSolver(plan_prob, CrossEntropyConfig(
-        num_samples=10, ileqg=ileqg_cfg))
+
+    # Controller FACTORIES — a fresh planner per seed so RAT iLQR's CE
+    # warm-start state cannot leak across seeds.
+    def make_rat():
+        rat = RATiLQRSolver(plan_prob, CrossEntropyConfig(
+            num_samples=10, ileqg=ileqg_cfg))
+        return lambda x, u, k: rat.solve(x, u, k, kl_bound=args.kl_bound)
 
     controllers = {
-        "iLQG": lambda x, u, k: ileqg_solve(plan_prob, ileqg_cfg, x, u,
-                                            0.0),
-        "iLEQG (θ=0.01)": lambda x, u, k: ileqg_solve(plan_prob, ileqg_cfg,
-                                                      x, u, 0.01),
-        "RAT iLQR": lambda x, u, k: rat.solve(x, u, k,
-                                              kl_bound=args.kl_bound),
+        "iLQG": lambda: (lambda x, u, k: ileqg_solve(plan_prob, ileqg_cfg,
+                                                     x, u, 0.0)),
+        "iLEQG (θ=0.01)": lambda: (lambda x, u, k: ileqg_solve(
+            plan_prob, ileqg_cfg, x, u, 0.01)),
+        "RAT iLQR": make_rat,
     }
 
     print(f"{'controller':<16} {'mean cost':>10} {'stderr':>8} "
           f"{'θ-fallbacks':>12}")
-    for name, plan in controllers.items():
-        out = [run_model_based(plan, jax.random.key(100 + s), x0)
+    for name, make_plan in controllers.items():
+        out = [run_model_based(make_plan(), jax.random.key(100 + s), x0)
                for s in range(args.seeds)]
         costs = [o[0] for o in out]
         fb = sum(o[1] for o in out)

@@ -38,9 +38,11 @@ class ILEQGConfig:
       ls_max_trials: hard cap on line-search trials per iteration.  The
         reference's DP-failure retry path (``ileqg.jl:529-535``) has no
         bound; lanes exhausting this cap are declared failed (cost = Inf).
-      eps_history_cap: static length of the (ε, Δvalue) diagnostics ring
+      eps_history_cap: static length of the (ε, Δvalue) diagnostics
         buffer replacing the reference's growing ``ϵ_history``
-        (``ileqg.jl:187,537``).
+        (``ileqg.jl:187,537``).  Saturating, not a ring: the first
+        ``cap−1`` trials are retained and the last slot holds the most
+        recent trial; ``eps_count`` keeps the true total.
       verbose: emit per-iteration progress from inside the jitted solve
         via ``jax.debug.print`` (counterpart of the reference's
         verbose-gated println traces, SURVEY.md §5); static, so disabled

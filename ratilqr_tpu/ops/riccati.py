@@ -282,6 +282,34 @@ def dp_evaluate(approx: Approximation, L_traj: Array,
     return dp, m_fail
 
 
+def mu_restart_loop(run, mu: Array, delta: Array, mu_min: float,
+                    delta_0: float, max_restarts: int):
+    """Shared μ-restart retry harness (``ileqg.jl:358-401``): re-run the
+    full backward pass with escalated μ while some H_t is not PSD.
+
+    ``run(mu) -> (dp, L, dl, m_fail, h_fail)``.  Returns
+    ``(dp, L, dl, mu, delta, failed)``.  Used by both the sequential and
+    the parallel-in-time backends so restart semantics cannot drift.
+    """
+    dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
+    state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,
+             jnp.zeros((), jnp.int32))
+
+    def cond(state):
+        *_, m_fail, h_fail, k = state
+        return h_fail & ~m_fail & (k < max_restarts)
+
+    def body(state):
+        _, _, _, mu_v, delta_v, _, _, k = state
+        mu_v, delta_v = increase_mu_delta(mu_v, delta_v, mu_min, delta_0)
+        dp, L, dl, m_fail, h_fail = run(mu_v)
+        return (dp, L, dl, mu_v, delta_v, m_fail, h_fail, k + 1)
+
+    dp, L, dl, mu, delta, m_fail, h_fail, _ = lax.while_loop(
+        cond, body, state)
+    return dp, L, dl, mu, delta, m_fail | h_fail
+
+
 def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
                 delta: Array, mu_min: float, delta_0: float,
                 max_restarts: int = MAX_MU_RESTARTS, unroll: int = 1
@@ -304,21 +332,4 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
     def run(mu_v):
         return _core_dispatch(approx, theta, mu_v, None, None, unroll)
 
-    dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
-    state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,
-             jnp.zeros((), jnp.int32))
-
-    def cond(state):
-        _, _, _, _, _, m_fail, h_fail, k = state
-        return h_fail & ~m_fail & (k < max_restarts)
-
-    def body(state):
-        _, _, _, mu_v, delta_v, _, _, k = state
-        mu_v, delta_v = increase_mu_delta(mu_v, delta_v, mu_min, delta_0)
-        dp, L, dl, m_fail, h_fail = run(mu_v)
-        return (dp, L, dl, mu_v, delta_v, m_fail, h_fail, k + 1)
-
-    dp, L, dl, mu, delta, m_fail, h_fail, _ = lax.while_loop(
-        cond, body, state)
-    failed = m_fail | h_fail
-    return dp, L, dl, mu, delta, failed
+    return mu_restart_loop(run, mu, delta, mu_min, delta_0, max_restarts)

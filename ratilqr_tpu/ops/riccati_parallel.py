@@ -59,7 +59,7 @@ from jax import lax
 from ratilqr_tpu.ops import smallmat
 from ratilqr_tpu.ops.approx import Approximation, _sym
 from ratilqr_tpu.ops.riccati import (DPResult, MAX_MU_RESTARTS,
-                                     increase_mu_delta)
+                                     mu_restart_loop)
 
 Array = jnp.ndarray
 
@@ -82,11 +82,12 @@ def combine(ei: Element, ej: Element) -> Element:
     n = ei.A.shape[-1]
     eye = jnp.eye(n, dtype=ei.A.dtype)
     M1 = eye + ei.C @ ej.J                      # I + C_i J_j
-    M2 = eye + ej.J @ ei.C                      # I + J_j C_i
+    # C and J stay symmetric under composition, so I + J_j C_i = M1ᵀ —
+    # both solves share the single factorization target M1.
     Aj_M1inv = jnp.swapaxes(
         _solve(jnp.swapaxes(M1, -1, -2), jnp.swapaxes(ej.A, -1, -2)),
         -1, -2)                                  # A_j (I + C_i J_j)⁻¹
-    Ai_T_M2inv = jnp.swapaxes(ei.A, -1, -2) @ jnp.linalg.inv(M2)
+    Ai_T_M2inv = jnp.swapaxes(_solve(M1, ei.A), -1, -2)
     A12 = Aj_M1inv @ ei.A
     b12 = (Aj_M1inv @ (ei.b + (ei.C @ ej.eta[..., None])[..., 0]
                        )[..., None])[..., 0] + ej.b
@@ -119,17 +120,22 @@ def _build_elements(approx: Approximation, theta: Array, mu: Array,
     def ctrl_element(q_vec, Q, r, R, P, A, B):
         if optimizing:
             # Complete the square in u: eliminate control + cross terms.
-            R_t = R + mu * eye_m
-            R_chol = smallmat.cholesky(_sym(R_t))
-            Kp = smallmat.cho_solve_mat(R_chol, P)        # R̃⁻¹P (m, n)
-            u_off = smallmat.cho_solve_vec(R_chol, r)     # R̃⁻¹r (m,)
+            # R̃ only needs to be INVERTIBLE here (general LU solve, not
+            # Cholesky): the sequential path accepts indefinite R as long
+            # as H = R̃ + BᵀS̃B is PSD, and the square-completion identity
+            # holds for any invertible R̃; PSD-ness of H is still enforced
+            # in the per-step phase.  (Exactly singular R̃ with PSD H is
+            # the one corner the parallel form cannot represent.)
+            R_t = _sym(R + mu * eye_m)
+            Kp = jnp.linalg.solve(R_t, P)                 # R̃⁻¹P (m, n)
+            u_off = jnp.linalg.solve(R_t, r)              # R̃⁻¹r (m,)
             A_hat = A - B @ Kp
             J_hat = _sym(Q - P.T @ Kp)
             eta_hat = q_vec - P.T @ u_off
             # combine() applies (η_j − J_j b_i): store the NEGATED
             # physical dynamics offset (the offset is −B R̃⁻¹ r).
             b_hat = B @ u_off
-            C_hat = B @ smallmat.cho_solve_mat(R_chol, B.T)
+            C_hat = B @ jnp.linalg.solve(R_t, B.T)
             return Element(A=A_hat, b=b_hat, C=C_hat, eta=eta_hat, J=J_hat)
         else:
             return None  # built in closed-loop form below
@@ -304,20 +310,4 @@ def dp_optimize_parallel(approx: Approximation, *, theta: Array, mu: Array,
     def run(mu_v):
         return _riccati_core_parallel(approx, theta, mu_v, None, None)
 
-    dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
-    state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,
-             jnp.zeros((), jnp.int32))
-
-    def cond(state):
-        *_, m_fail, h_fail, k = state
-        return h_fail & ~m_fail & (k < max_restarts)
-
-    def body(state):
-        _, _, _, mu_v, delta_v, _, _, k = state
-        mu_v, delta_v = increase_mu_delta(mu_v, delta_v, mu_min, delta_0)
-        dp, L, dl, m_fail, h_fail = run(mu_v)
-        return (dp, L, dl, mu_v, delta_v, m_fail, h_fail, k + 1)
-
-    dp, L, dl, mu, delta, m_fail, h_fail, _ = lax.while_loop(
-        cond, body, state)
-    return dp, L, dl, mu, delta, m_fail | h_fail
+    return mu_restart_loop(run, mu, delta, mu_min, delta_0, max_restarts)

@@ -131,3 +131,27 @@ def test_parallel_detects_neurotic_breakdown():
     *_, fail = dp_optimize_parallel(ap, theta=0.5, mu=0.0, delta=2.0,
                                     mu_min=1e-6, delta_0=2.0)
     assert bool(fail)
+
+
+def test_parallel_handles_indefinite_R_with_psd_H():
+    # Indefinite R (but H = R + B'S̃B PSD): the sequential path succeeds
+    # without restarts; the parallel completed-square form must too (it
+    # needs R̃ invertible, not PSD).
+    prob = RiskSensitiveProblem(
+        f=lambda x, u: x + 2.0 * u,
+        c=lambda k, x, u: 0.5 * x @ x + 0.5 * u @ u - 0.6 * u[0] ** 2,
+        h=lambda x: 5.0 * x @ x,
+        W=lambda k: 0.05 * jnp.eye(2, dtype=jnp.float64),
+        N=8)
+    u = 0.1 * jnp.ones((8, 2), jnp.float64)
+    x, A, B = rollout_open_loop_with_jac(prob, 0.3 * jnp.ones(2), u)
+    ap = approximate_model(prob, u, x, A, B)
+    dp_s, L_s, dl_s, mu_s, _, fail_s = dp_optimize(
+        ap, theta=0.05, mu=0.0, delta=2.0, mu_min=1e-6, delta_0=2.0)
+    dp_p, L_p, dl_p, mu_p, _, fail_p = dp_optimize_parallel(
+        ap, theta=0.05, mu=0.0, delta=2.0, mu_min=1e-6, delta_0=2.0)
+    assert not bool(fail_s) and not bool(fail_p)
+    np.testing.assert_allclose(np.asarray(dp_p.s), np.asarray(dp_s.s),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(L_p), np.asarray(L_s),
+                               rtol=1e-8, atol=1e-10)
