@@ -76,9 +76,12 @@ def main():
         steps = driver.run(x0, u0, key, num_steps=args.steps)
         xs = np.stack([np.asarray(s.x) for s in steps])
         final_dist = float(np.linalg.norm(xs[-1][:2] - goal))
+        # Accumulate the problem's own stage cost (includes the heading
+        # term) so the printed metric is the objective the controllers
+        # actually optimize.
         total_cost = float(sum(
-            0.05 * (np.asarray(s.x)[:2] - goal) @ (np.asarray(s.x)[:2] - goal)
-            + 0.05 * np.asarray(s.u) @ np.asarray(s.u) for s in steps))
+            problem.c(i, jnp.asarray(s.x), jnp.asarray(s.u))
+            for i, s in enumerate(steps)))
         lat = sorted(s.plan_time_s for s in steps[1:])
         p50 = 1e3 * lat[len(lat) // 2]
         print(f"{name:<16} {final_dist:>10.3f} {total_cost:>11.2f} "

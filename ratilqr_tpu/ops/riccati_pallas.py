@@ -90,11 +90,15 @@ def _chol(M: Array) -> Array:
 
 
 def _chol_ok_mask(L: Array) -> Array:
-    """(8, 128) boolean mask: factorization finite on this lane."""
+    """(8, 128) boolean mask: positive-definite on this lane.
+
+    Matches smallmat.chol_ok — every pivot finite AND strictly positive
+    (a zero last pivot yields a finite factor but isposdef rejects it).
+    """
     n = L.shape[0]
-    ok = jnp.isfinite(L[0, 0])
+    ok = jnp.isfinite(L[0][0]) & (L[0][0] > 0)
     for i in range(1, n):
-        ok = ok & jnp.isfinite(L[i, i])
+        ok = ok & jnp.isfinite(L[i][i]) & (L[i][i] > 0)
     return ok
 
 

@@ -99,13 +99,17 @@ def cho_logdet(L: Array) -> Array:
 
 
 def chol_ok(L: Array) -> Array:
-    """PSD test: factorization succeeded iff the factor is finite.
+    """Positive-definiteness test on the Cholesky factor.
 
-    Checks the diagonal only — NaN propagates down columns, so a non-PSD
-    pivot always poisons a later diagonal entry.
+    Matches Julia ``isposdef`` semantics (``ileqg.jl:366,372``): every
+    diagonal pivot must be finite AND strictly positive.  Finiteness alone
+    is not enough — an exactly-singular PSD matrix whose zero pivot lands in
+    the LAST diagonal entry produces a finite factor (no later column exists
+    for the NaN to poison), yet ``isposdef`` rejects it and downstream
+    triangular solves would divide by zero.
     """
     diag = jnp.stack([L[..., i, i] for i in range(L.shape[-1])], -1)
-    return jnp.all(jnp.isfinite(diag), axis=-1)
+    return jnp.all(jnp.isfinite(diag) & (diag > 0), axis=-1)
 
 
 def sym(M: Array) -> Array:

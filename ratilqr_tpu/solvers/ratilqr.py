@@ -48,7 +48,12 @@ class CEState(NamedTuple):
 
 
 class RATiLQRResult(NamedTuple):
-    """``solve!`` return values (``…:348-355``) plus the updated state."""
+    """``solve!`` return values (``…:348-355``) plus the updated state.
+
+    ``redraws_exhausted`` surfaces a CE generation whose feasibility redraw
+    loop ran out of budget (the reference's loop at ``…:265-312`` would spin
+    forever there; the jit path proceeds with the partly-Inf sample set and
+    reports it here, the host path raises instead)."""
     theta_opt: Array
     x: Array
     l: Array
@@ -57,6 +62,7 @@ class RATiLQRResult(NamedTuple):
     theta_min: Array
     theta_max: Array
     state: CEState
+    redraws_exhausted: Array = jnp.zeros((), bool)
 
 
 def init_state(config: CrossEntropyConfig, dtype=jnp.float64) -> CEState:
@@ -124,18 +130,29 @@ def _update_theta_range(state: CEState, thetas: np.ndarray,
         theta_max=jnp.asarray(theta_max, state.theta_max.dtype))
 
 
+# Feasibility-redraw budget for one CE generation.  The reference's loop
+# (``…:265-312``) is unbounded and can hang on a persistently-infeasible
+# (μ, σ); we bound it in parity with the jit path (ratilqr_jit._MAX_REDRAWS)
+# and surface the failure instead.
+_MAX_REDRAWS = 25
+
+
 def step(config: CrossEntropyConfig, state: CEState, cost_fn, x0: Array,
          u_init: Array, kl_bound: float, key: Array,
          verbose: bool = False) -> Tuple[CEState, Array]:
     """One CE generation (``step!``, ``…:252-335``): draw positive θ samples,
     evaluate the bank, apply the iteration-1 feasibility rescaling of
-    ``μ_init/σ_init`` (``…:293-305``), refit the elite Gaussian."""
+    ``μ_init/σ_init`` (``…:293-305``), refit the elite Gaussian.
+
+    Raises ``RuntimeError`` if the feasibility redraw loop exhausts its
+    ``_MAX_REDRAWS`` budget (see module note above).
+    """
     state = state._replace(iter_current=state.iter_current + 1)
     dtype = state.mu.dtype
     lam = config.lam
     threshold = max(config.num_elite, config.num_samples * lam)
 
-    while True:
+    for _redraw in range(_MAX_REDRAWS):
         key, sub = jax.random.split(key)
         if state.iter_current == 1:
             mu_s, sigma_s = state.mu_init, state.sigma_init
@@ -165,6 +182,13 @@ def step(config: CrossEntropyConfig, state: CEState, cost_fn, x0: Array,
             break
         # iter > 1 with too few valid: the reference redraws with unchanged
         # (μ, σ) until enough lanes are feasible (no branch fires, :265-312).
+    else:
+        raise RuntimeError(
+            f"CE feasibility redraw budget exhausted ({_MAX_REDRAWS} "
+            f"redraws, {num_valid}/{config.num_samples} feasible at "
+            f"μ={float(mu_s)}, σ={float(sigma_s)}): every sampled θ leads "
+            "to neurotic breakdown — the problem is likely infeasible at "
+            "this kl_bound")
 
     state = _update_theta_range(state, thetas_np, costs_np)
 
@@ -230,8 +254,10 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
                 tmin, tmax = state.theta_min, state.theta_max
             else:
                 value = res.value
-                tmin = jnp.asarray(0.0, dtype)
-                tmax = jnp.asarray(0.0, dtype)
+                # Parity: with kl_bound == 0 the reference returns its
+                # initialize!-reset θ-range fields (Inf, 0.0) untouched
+                # (ref :386-389 skips the CE loop entirely).
+                tmin, tmax = state.theta_min, state.theta_max
             return RATiLQRResult(
                 theta_opt=jnp.asarray(theta_opt, dtype), x=res.x, l=res.l,
                 L=res.L, value=value, theta_min=tmin, theta_max=tmax,

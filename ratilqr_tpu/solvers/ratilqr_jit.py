@@ -77,7 +77,8 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
                theta_max=jnp.asarray(0.0, dtype))
 
     def generation(carry):
-        (it, key, mu_init, sigma_init, mu, sigma, tmin, tmax) = carry
+        (it, key, mu_init, sigma_init, mu, sigma, tmin, tmax,
+         exhausted) = carry
         it = it + 1
 
         def redraw_cond(rc):
@@ -108,8 +109,12 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         rc = (jnp.zeros((), jnp.int32), key, mu_init, sigma_init,
               jnp.zeros((ns,), dtype), jnp.full((ns,), jnp.inf, dtype),
               jnp.zeros((), bool))
-        (_, key, mu_init, sigma_init, thetas, costs, _) = lax.while_loop(
+        (_, key, mu_init, sigma_init, thetas, costs, done) = lax.while_loop(
             redraw_cond, redraw_body, rc)
+        # Budget exhaustion: the host path (and reference) would keep
+        # redrawing; here the generation proceeds with the partly-Inf sample
+        # set and the condition is surfaced via RATiLQRResult (ADVICE r1).
+        exhausted = exhausted | ~done
 
         # θ_min/θ_max bookkeeping with the reference's exact if/elseif
         # order over samples (ref :314-324).
@@ -128,27 +133,32 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         elite = thetas[idx]
         mu_new = jnp.sum(elite) / ne
         sigma_new = jnp.sqrt(jnp.sum((elite - mu_new) ** 2) / ne)
-        return (it, key, mu_init, sigma_init, mu_new, sigma_new, tmin, tmax)
+        return (it, key, mu_init, sigma_init, mu_new, sigma_new, tmin, tmax,
+                exhausted)
 
     def run_ce(operand):
         key = operand
         carry = (jnp.zeros((), jnp.int32), key, ce0["mu_init"],
                  ce0["sigma_init"], ce0["mu"], ce0["sigma"],
-                 ce0["theta_min"], ce0["theta_max"])
+                 ce0["theta_min"], ce0["theta_max"], jnp.zeros((), bool))
         carry = lax.while_loop(lambda c: c[0] < config.iter_max, generation,
                                carry)
-        (_, _, mu_init, sigma_init, mu, sigma, tmin, tmax) = carry
+        (_, _, mu_init, sigma_init, mu, sigma, tmin, tmax,
+         exhausted) = carry
         theta_opt = jnp.where(config.use_theta_max, tmax, mu)
-        return (mu_init, sigma_init, mu, sigma, tmin, tmax, theta_opt)
+        return (mu_init, sigma_init, mu, sigma, tmin, tmax, theta_opt,
+                exhausted)
 
     def skip_ce(operand):
         # kl_bound == 0 → pure iLQG (ref :386-389); CE state untouched.
+        # θ-range parity: the initialize!-reset fields (Inf, 0.0) are
+        # returned untouched, like the reference and the host path.
         return (ce0["mu_init"], ce0["sigma_init"], ce0["mu"], ce0["sigma"],
-                jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
-                jnp.asarray(0.0, dtype))
+                ce0["theta_min"], ce0["theta_max"],
+                jnp.asarray(0.0, dtype), jnp.zeros((), bool))
 
-    (mu_init, sigma_init, mu, sigma, tmin, tmax, theta_opt) = lax.cond(
-        kl_bound > 0, run_ce, skip_ce, key)
+    (mu_init, sigma_init, mu, sigma, tmin, tmax, theta_opt,
+     exhausted) = lax.cond(kl_bound > 0, run_ce, skip_ce, key)
 
     # Final full re-solve with θ-backoff on neurotic breakdown (ref
     # :390-414): bounded while_loop carrying the full result pytree.
@@ -177,4 +187,4 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         iter_current=jnp.where(kl_bound > 0, config.iter_max, 0))
     return RATiLQRResult(theta_opt=theta_opt, x=res.x, l=res.l, L=res.L,
                          value=value, theta_min=tmin, theta_max=tmax,
-                         state=new_state)
+                         state=new_state, redraws_exhausted=exhausted)

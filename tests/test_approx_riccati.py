@@ -185,3 +185,18 @@ def test_scan_unroll_bit_identical(lqr):
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
                                rtol=1e-12)
+
+
+def test_chol_ok_rejects_singular_last_pivot():
+    # ADVICE r1: an exactly-singular PSD matrix whose zero pivot lands in
+    # the LAST diagonal entry yields a finite Cholesky factor (no later
+    # column for the NaN to poison); isposdef-parity requires rejecting it.
+    from ratilqr_tpu.ops import smallmat
+
+    M = jnp.asarray([[1.0, 1.0], [1.0, 1.0]], jnp.float64)  # rank 1
+    L = smallmat.cholesky(M)
+    assert bool(jnp.all(jnp.isfinite(L)))  # the trap: factor IS finite
+    assert not bool(smallmat.chol_ok(L))
+    # and a genuinely SPD matrix still passes
+    M_ok = jnp.asarray([[2.0, 1.0], [1.0, 2.0]], jnp.float64)
+    assert bool(smallmat.chol_ok(smallmat.cholesky(M_ok)))

@@ -54,3 +54,62 @@ def test_eps_history_cap_saturates_without_error():
     assert not bool(res.failed)
     assert res.eps_history.shape == (2, 2)
     assert int(res.eps_count) >= 2  # counter keeps counting past the cap
+
+
+def _always_infeasible_problem(N=6):
+    # Enormous noise covariance: M = W^-1 - theta*S loses PSD for any
+    # theta above ~1e-12, far below anything the CE sampler can reach even
+    # after its full shrink budget -> every theta>0 lane is a neurotic
+    # breakdown, permanently.
+    return RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: x @ x + u @ u,
+        h=lambda x: x @ x,
+        W=lambda k: 1e12 * jnp.eye(2, dtype=jnp.float64),
+        N=N)
+
+
+def test_host_ce_redraw_budget_raises():
+    # The reference's feasibility redraw loop
+    # (cross_entropy_bilevel_optimization.jl:265-312) would hang here; the
+    # host path bounds it and surfaces the failure.
+    import jax
+    import pytest
+
+    from ratilqr_tpu import CrossEntropyConfig
+    from ratilqr_tpu.solvers import ratilqr
+
+    prob = _always_infeasible_problem()
+    cfg = CrossEntropyConfig(num_samples=4, num_elite=2,
+                             ileqg=ILEQGConfig(iter_max=3))
+    with pytest.raises(RuntimeError, match="redraw budget exhausted"):
+        ratilqr.solve(prob, cfg, ratilqr.init_state(cfg),
+                      jnp.ones(2, jnp.float64), jnp.zeros((6, 2), jnp.float64),
+                      jax.random.key(0), kl_bound=1.0)
+
+
+def test_jit_ce_redraw_budget_sets_flag():
+    # Same problem through the fully-jitted path: no hang, no exception —
+    # the exhaustion is reported in RATiLQRResult.redraws_exhausted.
+    import jax
+
+    from ratilqr_tpu import CrossEntropyConfig
+    from ratilqr_tpu.solvers import ratilqr, ratilqr_jit
+
+    prob = _always_infeasible_problem()
+    cfg = CrossEntropyConfig(num_samples=4, num_elite=2,
+                             ileqg=ILEQGConfig(iter_max=3))
+    res = ratilqr_jit.solve(prob, cfg, ratilqr.init_state(cfg),
+                            jnp.ones(2, jnp.float64),
+                            jnp.zeros((6, 2), jnp.float64),
+                            jax.random.key(0), 1.0)
+    assert bool(res.redraws_exhausted)
+
+    # A feasible problem must NOT set the flag.
+    from ratilqr_tpu.models import nonlinear_toy
+    ok = ratilqr_jit.solve(nonlinear_toy(N=6), cfg,
+                           ratilqr.init_state(cfg),
+                           jnp.zeros(2, jnp.float64),
+                           0.1 * jnp.ones((6, 2), jnp.float64),
+                           jax.random.key(1), 1.0)
+    assert not bool(ok.redraws_exhausted)

@@ -60,3 +60,33 @@ def test_verbose_solve_runs(capfd):
     jax.effects_barrier()
     out = capfd.readouterr().out
     assert "iLEQG iter" in out
+
+
+def test_checkpoint_restores_float_into_none_template():
+    # ADVICE r1: a checkpoint saved AFTER the NM c_high/c_low bootstrap
+    # (concrete Python floats) must restore floats — not 0-d arrays — when
+    # loaded against a fresh init_state() template whose slots are None.
+    cfg = __import__("ratilqr_tpu").NelderMeadConfig()
+    st = nelder_mead.init_state(cfg)._replace(c_high=12.5, c_low=3.25)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "nm2.npz")
+        save_state(path, st)
+        st2 = load_state(path, nelder_mead.init_state(cfg))
+    assert isinstance(st2.c_high, float) and st2.c_high == 12.5
+    assert isinstance(st2.c_low, float) and st2.c_low == 3.25
+
+
+def test_checkpoint_structure_mismatch_raises():
+    import pytest
+
+    cfg = CrossEntropyConfig()
+    st = ratilqr.init_state(cfg)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ce2.npz")
+        save_state(path, st)
+        with pytest.raises(ValueError):
+            load_state(path, {"a": 1.0, "b": 2.0})  # wrong leaf count
+        nm_cfg = __import__("ratilqr_tpu").NelderMeadConfig()
+        with pytest.raises(ValueError, match="leaf paths"):
+            # same leaf COUNT (7) but different field names
+            load_state(path, nelder_mead.init_state(nm_cfg))
