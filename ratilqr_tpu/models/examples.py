@@ -73,11 +73,17 @@ def nonlinear_toy(N: int = 10, noise: float = 0.01,
 
 
 def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
-             goal=(5.0, 5.0), dtype=jnp.float64) -> RiskSensitiveProblem:
+             goal=(5.0, 5.0), dtype=jnp.float64,
+             analytic_jacobians: bool = False) -> RiskSensitiveProblem:
     """Stochastic unicycle regulation — the nonlinear robot model family the
     RAT iLQR paper evaluates on (``README.md:20-25``; the repo itself ships
     only analytic fixtures, SURVEY.md §6).  State ``(px, py, heading)``,
-    control ``(v, ω)``; additive Gaussian position/heading noise."""
+    control ``(v, ω)``; additive Gaussian position/heading noise.
+
+    ``analytic_jacobians=True`` supplies closed-form ``A/B`` via the
+    ``f_jac`` protocol (the reference's ``f_returns_jacobian=true`` fast
+    path, ``ileqg.jl:160-162``), skipping forward-mode AD in every rollout.
+    """
     g = np.asarray(list(goal) + [0.0])
     W_np = noise * np.eye(3)
 
@@ -88,6 +94,22 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
                           py + dt * v * jnp.sin(th),
                           th + dt * om])
 
+    def f_jac(x, u):
+        th = x[2]
+        v = u[0]
+        s, co = jnp.sin(th), jnp.cos(th)
+        one = jnp.ones((), x.dtype)
+        zero = jnp.zeros((), x.dtype)
+        x_next = jnp.stack([x[0] + dt * v * co, x[1] + dt * v * s,
+                            th + dt * u[1]])
+        A = jnp.stack([jnp.stack([one, zero, -dt * v * s]),
+                       jnp.stack([zero, one, dt * v * co]),
+                       jnp.stack([zero, zero, one])])
+        B = jnp.stack([jnp.stack([dt * co, zero]),
+                       jnp.stack([dt * s, zero]),
+                       jnp.stack([zero, dt * one])])
+        return x_next, A, B
+
     def c(k, x, u):
         dx = x - jnp.asarray(g, x.dtype)
         return 0.05 * (dx @ dx) + 0.05 * (u @ u)
@@ -97,7 +119,8 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
         return 10.0 * (dx @ dx)
 
     return RiskSensitiveProblem(f=f, c=c, h=h,
-                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N,
+                                f_jac=f_jac if analytic_jacobians else None)
 
 
 def cartpole(N: int = 50, dt: float = 0.05, noise: float = 1e-4,

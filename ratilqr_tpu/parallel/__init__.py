@@ -3,4 +3,5 @@ from ratilqr_tpu.parallel.mesh import (SAMPLE_AXIS, distributed_initialize,
                                        sample_sharding)
 from ratilqr_tpu.parallel.sharded import (compute_cost_shard_map,
                                           make_sharded_pets_solve,
-                                          make_sharded_theta_cost_fn)
+                                          make_sharded_theta_cost_fn,
+                                          sharded_elite_selection)

@@ -98,14 +98,53 @@ def compute_cost_shard_map(problem: GenerativeProblem, config: PETSConfig,
     return fn(x0, control_sequences, key)
 
 
+def sharded_elite_selection(mesh: Mesh, us: Array, costs: Array,
+                            num_elite: int) -> Array:
+    """Communication-optimal elite selection: per-shard ``top_k(num_elite)``
+    then a merged top-k over the (n_shards × num_elite) candidates.
+
+    The naive path gathers ALL K costs+sequences to every device before
+    ``top_k``; at the 10k+-rollout scale (``pets.jl:100-126`` fan-out) that
+    all-gather is O(K·N·m) per device.  The global top-k is always a subset
+    of the union of per-shard top-ks, so gathering only the per-shard
+    winners — O(n_shards·num_elite·N·m) — is exact (identical result for
+    distinct costs) and shrinks the collective by K/(n_shards·num_elite).
+
+    ``us``: (K, N, m) control bank, sharded on the sample axis;
+    ``costs``: (K,).  Returns the (num_elite, N, m) elite bank, replicated.
+    """
+
+    def local(us_l, costs_l):
+        # A shard contributes at most its own size to the global top-k.
+        local_k = min(num_elite, costs_l.shape[0])
+        _, idx = lax.top_k(-costs_l, local_k)
+        cand_us, cand_c = us_l[idx], costs_l[idx]
+        all_us = lax.all_gather(cand_us, SAMPLE_AXIS, tiled=True)
+        all_c = lax.all_gather(cand_c, SAMPLE_AXIS, tiled=True)
+        _, gidx = lax.top_k(-all_c, num_elite)
+        return all_us[gidx]
+
+    # check_vma=False: the varying-axes analysis cannot statically prove
+    # the output replicated, but it is by construction — every device runs
+    # the same top_k on the same all-gathered candidate set.
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(SAMPLE_AXIS), P(SAMPLE_AXIS)),
+                     out_specs=P(), check_vma=False)(us, costs)
+
+
 def make_sharded_pets_solve(problem: GenerativeProblem, config: PETSConfig,
-                            mesh: Mesh, use_true_model: bool = False):
+                            mesh: Mesh, use_true_model: bool = False,
+                            shard_elites: bool = False):
     """Fully-jitted PETS solve with the control-sample axis sharded.
 
     The CEM state (μ, Σ) is replicated; each generation samples the control
     bank, constrains it onto the mesh, evaluates rollouts shard-locally and
-    selects elites globally (XLA inserts the gather for ``top_k``).
-    Numerics are identical to :func:`ratilqr_tpu.solvers.pets.solve`.
+    selects elites globally.  With ``shard_elites=False`` XLA inserts the
+    full gather for ``top_k``; ``shard_elites=True`` uses the
+    communication-optimal :func:`sharded_elite_selection` (per-shard top-k,
+    merged) — exact for distinct costs, and the right choice at 10k+
+    rollout scale.  Numerics are identical to
+    :func:`ratilqr_tpu.solvers.pets.solve`.
     """
     shard = NamedSharding(mesh, P(SAMPLE_AXIS))
 
@@ -118,8 +157,12 @@ def make_sharded_pets_solve(problem: GenerativeProblem, config: PETSConfig,
             us = lax.with_sharding_constraint(us, shard)
             costs = pets_mod.compute_cost(problem, config, x0, us, key_c,
                                           use_true_model)
-            elites, _ = pets_mod.get_elite_samples(us, costs,
-                                                   config.num_elite)
+            if shard_elites:
+                elites = sharded_elite_selection(mesh, us, costs,
+                                                 config.num_elite)
+            else:
+                elites, _ = pets_mod.get_elite_samples(us, costs,
+                                                       config.num_elite)
             carry = pets_mod.compute_new_distribution(
                 carry, elites, config.smoothing_factor)
             return carry._replace(iter_current=carry.iter_current + 1), None

@@ -61,3 +61,28 @@ def test_pallas_kernel_at_dimension(mk, n, m, x0):
                                np.asarray(ref[0].s[:, 0]), rtol=5e-5)
     np.testing.assert_allclose(np.asarray(out.L), np.asarray(ref[1]),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_unicycle_analytic_jacobian_path_matches_ad():
+    # The f_jac fast path (reference f_returns_jacobian protocol) must be a
+    # pure performance switch: identical solve results to the AD path.
+    import jax
+    import numpy as np
+
+    from ratilqr_tpu import ILEQGConfig, ileqg_solve
+    from ratilqr_tpu.models import unicycle
+
+    dt = jnp.float64
+    p_ad = unicycle(N=20, dtype=dt)
+    p_an = unicycle(N=20, dtype=dt, analytic_jacobians=True)
+    assert not p_ad.has_jacobian and p_an.has_jacobian
+    x0 = jnp.asarray([0.4, -0.3, 0.2], dt)
+    u0 = 0.1 * jnp.ones((20, 2), dt)
+    cfg = ILEQGConfig(iter_max=15)
+    for theta in (0.0, 0.01):
+        r_ad = ileqg_solve(p_ad, cfg, x0, u0, theta)
+        r_an = ileqg_solve(p_an, cfg, x0, u0, theta)
+        np.testing.assert_allclose(float(r_an.value), float(r_ad.value),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_an.l), np.asarray(r_ad.l),
+                                   rtol=1e-9, atol=1e-12)

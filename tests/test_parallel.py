@@ -93,3 +93,40 @@ def test_shard_map_rejects_indivisible_batch(pets_uniform_problem):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_sharded_elite_selection_matches_global_topk(pets_uniform_problem):
+    # Per-shard top-k + merged top-k must equal the global top-k exactly
+    # (the global elite set is always a subset of the union of per-shard
+    # elite sets; costs are continuous -> distinct a.s.).
+    from ratilqr_tpu.parallel import sharded_elite_selection
+
+    mesh = make_mesh()
+    K, N, m, ne = 64, 5, 2, 7
+    key = jax.random.key(9)
+    us = jax.random.normal(key, (K, N, m), jnp.float64)
+    costs = jax.random.normal(jax.random.fold_in(key, 1), (K,), jnp.float64)
+    elites = sharded_elite_selection(mesh, us, costs, ne)
+    ref, _ = pets.get_elite_samples(us, costs, ne)
+    np.testing.assert_array_equal(np.asarray(elites), np.asarray(ref))
+
+
+def test_sharded_pets_solve_shard_elites_matches(pets_uniform_problem):
+    # The communication-optimal elite path is a pure placement change:
+    # identical solve results to the all-gather path and the plain solve.
+    prob = pets_uniform_problem
+    config = PETSConfig(num_control_samples=16, num_trajectory_samples=4,
+                        num_elite=4, iter_max=3)
+    x0 = jnp.zeros(2, jnp.float64)
+    state = pets.init_state(
+        jnp.zeros((prob.N, 2), jnp.float64),
+        jnp.eye(2, dtype=jnp.float64)[None].repeat(prob.N, 0))
+    key = jax.random.key(42)
+    mesh = make_mesh()
+    out_opt = make_sharded_pets_solve(prob, config, mesh,
+                                      shard_elites=True)(x0, state, key)
+    out_plain = pets.solve(prob, config, x0, state, key)
+    np.testing.assert_allclose(np.asarray(out_opt.mu),
+                               np.asarray(out_plain.mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_opt.sigma),
+                               np.asarray(out_plain.sigma), rtol=1e-12)
