@@ -62,7 +62,9 @@ class RATiLQRResult(NamedTuple):
     theta_min: Array
     theta_max: Array
     state: CEState
-    redraws_exhausted: Array = jnp.zeros((), bool)
+    # Python bool default — a jnp array here would touch the backend at
+    # import time; the jit path overrides with a traced bool.
+    redraws_exhausted: Array = False
 
 
 def init_state(config: CrossEntropyConfig, dtype=jnp.float64) -> CEState:

@@ -57,16 +57,37 @@ def test_kernel_matches_scan_optimizing(bank_inputs):
 
 
 def test_kernel_matches_scan_evaluating(bank_inputs):
+    # Evaluating mode under fixed (slightly perturbed, hence suboptimal)
+    # gains — every output compared, not just the scalar value.
     ap_b, thetas, mus = bank_inputs
-    _, L_fix, dl_fix, _, _ = jax.vmap(
+    _, L_opt, dl_opt, _, _ = jax.vmap(
         lambda ap, th, mu: _riccati_core(ap, th, mu, None, None))(
             ap_b, thetas, mus)
-    ref = jax.vmap(
+    L_fix = L_opt + 0.05 * jax.random.normal(jax.random.key(2),
+                                             L_opt.shape, L_opt.dtype)
+    dl_fix = dl_opt + 0.05 * jax.random.normal(jax.random.key(3),
+                                               dl_opt.shape, dl_opt.dtype)
+    dp_ref, _, _, mf_ref, hf_ref = jax.vmap(
         lambda ap, th, mu, L, dl: _riccati_core(ap, th, mu, L, dl))(
             ap_b, thetas, mus, L_fix, dl_fix)
     out = riccati_bank(ap_b, thetas, mus, L_fix, dl_fix)
-    np.testing.assert_allclose(np.asarray(out.s[:, 0]),
-                               np.asarray(ref[0].s[:, 0]), rtol=3e-5)
+    tol = dict(rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.s),
+                               np.asarray(dp_ref.s[:, :-1]), **tol)
+    np.testing.assert_allclose(np.asarray(out.s_vec),
+                               np.asarray(dp_ref.s_vec[:, :-1]), **tol)
+    np.testing.assert_allclose(np.asarray(out.S),
+                               np.asarray(dp_ref.S[:, :-1]), **tol)
+    np.testing.assert_allclose(np.asarray(out.g), np.asarray(dp_ref.g),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(out.G), np.asarray(dp_ref.G),
+                               **tol)
+    np.testing.assert_allclose(np.asarray(out.H), np.asarray(dp_ref.H),
+                               **tol)
+    np.testing.assert_array_equal(np.asarray(out.m_fail),
+                                  np.asarray(mf_ref))
+    np.testing.assert_array_equal(np.asarray(out.h_fail),
+                                  np.asarray(hf_ref))
 
 
 def test_kernel_neurotic_lane_flags(bank_inputs):
