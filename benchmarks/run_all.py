@@ -28,9 +28,12 @@ if os.environ.get("BENCH_SCALING") != "1":
 
 
 def bench_ileqg_throughput(batch=2048, T=100):
-    """Two regimes: cold start (every lane iterates to convergence from a
-    zero schedule) and warm-started MPC re-planning (the headline bench.py
-    metric)."""
+    """Cold start (every lane iterates to convergence from a zero schedule)
+    and warm-started MPC re-planning, each in two solver configs: the
+    reference-default algorithm (fixed ε_init, ``adaptive_ϵ_init=false``,
+    ``ileqg.jl:193``) and the tuned config with the reference's adaptive-ε
+    feature enabled.  Both run with per-lane trial diagnostics off
+    (``eps_history_cap=0`` — ``eps_count`` stays exact)."""
     from ratilqr_tpu import ILEQGConfig
     from ratilqr_tpu.models import unicycle
     from ratilqr_tpu.solvers.ileqg import make_batched_solver
@@ -38,19 +41,25 @@ def bench_ileqg_throughput(batch=2048, T=100):
 
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
-    bank = make_batched_solver(problem, ILEQGConfig(scan_unroll=10))
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
     thetas = jnp.linspace(0.0, 0.02, batch).astype(dtype)
-    stats = time_fn(lambda th: bank(x0, u0, th).value, thetas, reps=3)
-    out = {"ileqg_cold_solves_per_s": batch / stats["best"],
-           "ileqg_cold_bank_latency_ms": stats["best"] * 1e3,
-           "ileqg_compile_s": stats["compile"]}
-    u_warm = bank(x0, u0, thetas).l[0]
-    xm = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)
-    stats = time_fn(lambda th: bank(xm, u_warm, th).value, thetas, reps=3)
-    out["ileqg_warm_solves_per_s"] = batch / stats["best"]
-    out["ileqg_warm_bank_latency_ms"] = stats["best"] * 1e3
+
+    out = {}
+    for tag, adaptive in (("", False), ("_adaptive", True)):
+        bank = make_batched_solver(problem, ILEQGConfig(
+            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=adaptive))
+        stats = time_fn(lambda th: bank(x0, u0, th).value, thetas, reps=3)
+        out[f"ileqg_cold{tag}_solves_per_s"] = batch / stats["best"]
+        out[f"ileqg_cold{tag}_bank_latency_ms"] = stats["best"] * 1e3
+        if not tag:
+            out["ileqg_compile_s"] = stats["compile"]
+        u_warm = bank(x0, u0, thetas).l[0]
+        xm = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)
+        stats = time_fn(lambda th: bank(xm, u_warm, th).value, thetas,
+                        reps=3)
+        out[f"ileqg_warm{tag}_solves_per_s"] = batch / stats["best"]
+        out[f"ileqg_warm{tag}_bank_latency_ms"] = stats["best"] * 1e3
     return out
 
 
@@ -97,7 +106,7 @@ def bench_ratilqr_mpc(T=30, steps=10):
     return out
 
 
-def bench_pets(T=50, K=256, M=16):
+def bench_pets(T=50, K=256, M=16, prefix="pets"):
     from ratilqr_tpu import PETSConfig
     from ratilqr_tpu.models import gmm_integrator
     from ratilqr_tpu.solvers import pets
@@ -114,9 +123,10 @@ def bench_pets(T=50, K=256, M=16):
         lambda k: pets.solve(prob, config, x0, state, k).mu,
         jax.random.key(0), reps=3)
     gens = config.iter_max / stats["best"]
-    return {"pets_generations_per_s": gens,
-            "pets_rollouts_per_s": gens * K * M,
-            "pets_compile_s": stats["compile"]}
+    return {f"{prefix}_generations_per_s": gens,
+            f"{prefix}_rollouts_per_s": gens * K * M,
+            f"{prefix}_rollouts_per_gen": K * M,
+            f"{prefix}_compile_s": stats["compile"]}
 
 
 def bench_scaling_cpu():
@@ -177,6 +187,9 @@ def main():
             results.update(bench_ratilqr_mpc())
         if "pets" not in skip:
             results.update(bench_pets())
+            # Reference-scale workload: 16,384 rollouts/generation, the
+            # BASELINE.json "10k+ rollouts/iteration" config.
+            results.update(bench_pets(K=1024, M=16, prefix="pets_16k"))
     print(json.dumps(results, indent=2))
     if args.json:
         with open(args.json, "w") as f:

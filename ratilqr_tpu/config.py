@@ -42,7 +42,9 @@ class ILEQGConfig:
         buffer replacing the reference's growing ``ϵ_history``
         (``ileqg.jl:187,537``).  Saturating, not a ring: the first
         ``cap−1`` trials are retained and the last slot holds the most
-        recent trial; ``eps_count`` keeps the true total.
+        recent trial; ``eps_count`` keeps the true total.  ``0`` disables
+        recording (``eps_count`` still counts) — recommended for large
+        solver banks where per-lane trial diagnostics are never read.
       verbose: emit per-iteration progress from inside the jitted solve
         via ``jax.debug.print`` (counterpart of the reference's
         verbose-gated println traces, SURVEY.md §5); static, so disabled
@@ -53,6 +55,16 @@ class ILEQGConfig:
         bit-identical).  Default 1; the TPU benchmark configs use ~10
         (4.7x measured).  Large unrolls can exhaust the XLA:CPU LLVM
         compiler on big suites, so keep 1 for CPU runs.
+      ls_chunk: number of line-search ε-candidates evaluated *in one
+        batched pass* per backtracking round (the candidates are the
+        geometric ladder ε, ελ, ελ², …).  The first acceptable candidate
+        is committed, so the fixed point is identical to the sequential
+        trial-at-a-time loop (chunk=1, the default) — trial-for-trial
+        including ε_history.  Pure perf knob: under a vmapped bank the
+        sequential loop serializes max-trials-over-lanes full
+        rollout+approx+DP rounds per iteration; chunking evaluates the
+        ladder as one (B·chunk)-lane batch.  TPU benchmark configs use
+        ~8; keep 1 on CPU (compile cost, no latency win).
     """
     mu_min: float = 1e-6
     delta_0: float = 2.0
@@ -65,9 +77,12 @@ class ILEQGConfig:
     ls_max_trials: int = 64
     eps_history_cap: int = 256
     scan_unroll: int = 1
+    ls_chunk: int = 1
     verbose: bool = False
 
     def __post_init__(self):
+        _check(self.ls_chunk >= 1, "ls_chunk must be >= 1")
+        _check(self.eps_history_cap >= 0, "eps_history_cap must be >= 0")
         _check(0 < self.lam < 1, "lam must be in (0, 1)")
         _check(self.d_tol > 0, "d_tol > 0 is necessary")
         _check(self.mu_min > 0, "mu_min > 0 is necessary")

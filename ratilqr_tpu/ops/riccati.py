@@ -214,13 +214,65 @@ from functools import lru_cache as _lru_cache
 
 @_lru_cache(maxsize=64)
 def _make_core(optimizing: bool, unroll: int):
-    """Build the custom_vmap-wrapped Riccati core for one mode/unroll."""
+    """Build the custom_vmap-wrapped Riccati core for one mode/unroll.
+
+    Nested ``vmap`` levels (e.g. the line-search candidate chunk inside the
+    θ-bank) are *flattened* into one lane axis via a second custom_vmap
+    (``banked``): the innermost vmap fires the core rule, which delegates to
+    ``banked``; every further vmap level fires ``banked``'s own rule, which
+    reshapes ``(outer, lanes, ...) → (outer·lanes, ...)`` and recurses.  The
+    Pallas kernel therefore sees the FULL flattened lane count (B·c) instead
+    of only the innermost chunk — without this, a candidate chunk of 8 would
+    fall below the lane threshold and silently lose the kernel.
+    """
     if optimizing:
         def core(approx, theta, mu):
             return _riccati_core(approx, theta, mu, None, None, unroll)
     else:
         def core(approx, theta, mu, L_traj, dl_traj):
             return _riccati_core(approx, theta, mu, L_traj, dl_traj, unroll)
+
+    def banked(*args):
+        """Run a bank with a single leading lane axis on every arg."""
+        approx_b, theta_b = args[0], args[1]
+        axis_size = theta_b.shape[0]
+        dtype = approx_b.A.dtype
+        if _pallas_eligible(axis_size, dtype):
+            from ratilqr_tpu.ops.riccati_pallas import riccati_bank
+            if optimizing:
+                bank = riccati_bank(approx_b, theta_b, args[2])
+            else:
+                bank = riccati_bank(approx_b, theta_b, args[2], args[3],
+                                    args[4])
+            dp = DPResult(
+                s=jnp.concatenate(
+                    [bank.s, approx_b.q_term[:, None]], axis=1),
+                s_vec=jnp.concatenate(
+                    [bank.s_vec, approx_b.q_vec_term[:, None]], axis=1),
+                S=jnp.concatenate(
+                    [bank.S, approx_b.Q_term[:, None]], axis=1),
+                g=bank.g, G=bank.G, H=bank.H)
+            return (dp, bank.L, bank.dl, bank.m_fail, bank.h_fail)
+        return jax.vmap(core)(*args)
+
+    banked_cv = jax.custom_batching.custom_vmap(banked)
+
+    @banked_cv.def_vmap
+    def _flatten_rule(axis_size, in_batched, *args):
+        def bc(x, b):
+            if b:
+                return x
+            x = jnp.asarray(x)
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
+        inner = args_b[1].shape[1]  # theta: (axis_size, inner)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((axis_size * inner,) + x.shape[2:]), args_b)
+        out = banked_cv(*flat)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((axis_size, inner) + x.shape[1:]), out)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
 
     cv = jax.custom_batching.custom_vmap(core)
 
@@ -233,26 +285,7 @@ def _make_core(optimizing: bool, unroll: int):
             return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
         args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
-        approx_b, theta_b, mu_b = args_b[0], args_b[1], args_b[2]
-        dtype = approx_b.A.dtype
-        if _pallas_eligible(axis_size, dtype):
-            from ratilqr_tpu.ops.riccati_pallas import riccati_bank
-            if optimizing:
-                bank = riccati_bank(approx_b, theta_b, mu_b)
-            else:
-                bank = riccati_bank(approx_b, theta_b, mu_b, args_b[3],
-                                    args_b[4])
-            dp = DPResult(
-                s=jnp.concatenate(
-                    [bank.s, approx_b.q_term[:, None]], axis=1),
-                s_vec=jnp.concatenate(
-                    [bank.s_vec, approx_b.q_vec_term[:, None]], axis=1),
-                S=jnp.concatenate(
-                    [bank.S, approx_b.Q_term[:, None]], axis=1),
-                g=bank.g, G=bank.G, H=bank.H)
-            out = (dp, bank.L, bank.dl, bank.m_fail, bank.h_fail)
-        else:
-            out = jax.vmap(core)(*args_b)
+        out = banked_cv(*args_b)
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return cv

@@ -83,8 +83,15 @@ def _push_hist(hist: Array, count: Array, valid: Array, eps: Array,
     trials + latest are retained) while the counter keeps the true total —
     a bounded-memory stand-in for the reference's unbounded ``ϵ_history``
     push (``ileqg.jl:537``).
+
+    ``cap == 0`` disables recording entirely (the counter still counts):
+    the buffer is then a zero-size array that costs nothing to thread
+    through the search loop — the right setting for large solver banks,
+    where nobody reads per-lane trial diagnostics.
     """
     cap = hist.shape[0]
+    if cap == 0:
+        return hist, count + valid.astype(count.dtype)
     idx = jnp.minimum(count, cap - 1)
     entry = jnp.stack([eps, dval]).astype(hist.dtype)
     new = hist.at[idx].set(jnp.where(valid, entry, hist[idx]))
@@ -106,17 +113,29 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
     dtype = state.value.dtype
     lam = jnp.asarray(config.lam, dtype)
 
-    def trial(carry):
-        (eps, count, accepted, x_c, u_c, A_c, B_c, value_c, d_c, hist,
-         hist_n) = carry
+    def eval_candidate(eps):
+        """Roll out, re-approximate and DP-evaluate one candidate l+ε·dl.
+
+        Returns only scalars — the candidate trajectory is deliberately NOT
+        threaded through the search loop.  Under ``vmap`` a ``while_loop``
+        masks done lanes by selecting every carry leaf each round; carrying
+        the ``(T, ·)`` trajectory/Jacobian stacks made those selects the
+        dominant cost of the whole solve (profiled: ~19 ms of a 25 ms
+        iteration was carry select/copy traffic at B=2048).  The accepted
+        candidate is recomputed once after the loop — bit-identical, same
+        inputs through the same ops.
+        """
         l_cand = state.l + eps * dl
         x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
             problem, state.x, l_cand, state.L, unroll=config.scan_unroll)
         approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
         dp_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
                                    mu=state.mu, unroll=config.scan_unroll)
-        value_new = dp_new.value
-        evaluated = ~fail
+        return dp_new.value, ~fail
+
+    def trial(carry):
+        (eps, count, accepted, eps_acc, value_c, hist, hist_n) = carry
+        value_new, evaluated = eval_candidate(eps)
 
         hist, hist_n = _push_hist(hist, hist_n, evaluated, eps,
                                   value_new - state.value)
@@ -132,11 +151,53 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         forced = evaluated & ~accept & (eps_next < config.eps_min)
         take = accept | forced
 
-        d_new = max_control_deviation(state.l, u_new)
         sel = lambda new, old: jnp.where(take, new, old)
-        return (eps_next, count + 1, accepted | take,
-                sel(x_new, x_c), sel(u_new, u_c), sel(A_new, A_c),
-                sel(B_new, B_c), sel(value_new, value_c), sel(d_new, d_c),
+        return (eps_next, count + 1, accepted | take, sel(eps, eps_acc),
+                sel(value_new, value_c), hist, hist_n)
+
+    def chunk_round(carry):
+        """Evaluate ``ls_chunk`` ladder candidates ε·λ^j in ONE batched
+        pass and commit the first acceptable one.
+
+        Trial-for-trial identical to the sequential ``trial`` loop: each
+        candidate's accept/forced decision depends only on the (frozen)
+        pre-search state, so evaluating the ladder in parallel and
+        selecting the first take reproduces the sequential outcome —
+        including ε_history entries, trial counts, and the post-search ε
+        (candidates past the first take are discarded as if never run).
+        """
+        (eps0, count, accepted, eps_acc, value_c, hist, hist_n) = carry
+        c = config.ls_chunk
+        ladder = eps0 * lam ** jnp.arange(c, dtype=dtype)
+        values, evaluated = jax.vmap(eval_candidate)(ladder)
+
+        in_budget = (count + jnp.arange(c, dtype=count.dtype)
+                     < config.ls_max_trials)
+        accept = evaluated & (isapprox(values, state.value)
+                              | (values < state.value))
+        forced = evaluated & ~accept & (ladder * lam < config.eps_min)
+        take = (accept | forced) & in_budget
+        has_take = jnp.any(take)
+        first_take = jnp.argmax(take)          # first True; 0 if none
+        n_budget = jnp.minimum(
+            jnp.asarray(c, count.dtype),
+            jnp.asarray(config.ls_max_trials, count.dtype) - count)
+        n_exec = jnp.where(has_take,
+                           first_take.astype(count.dtype) + 1, n_budget)
+
+        for j in range(c):  # static unroll: ordered history pushes
+            valid = evaluated[j] & (j < n_exec)
+            hist, hist_n = _push_hist(hist, hist_n, valid, ladder[j],
+                                      values[j] - state.value)
+
+        pick = lambda arr: jnp.take(arr, first_take, axis=0)
+        sel = lambda new, old: jnp.where(has_take, new, old)
+        eps_next = jnp.where(
+            has_take,
+            jnp.where(pick(accept), pick(ladder), pick(ladder) * lam),
+            eps0 * lam ** n_exec.astype(dtype))
+        return (eps_next, count + n_exec, accepted | has_take,
+                sel(pick(ladder), eps_acc), sel(pick(values), value_c),
                 hist, hist_n)
 
     def cond(carry):
@@ -144,10 +205,22 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         return ~accepted & (count < config.ls_max_trials)
 
     init = (state.eps_init_cur, jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool), state.x, state.l, state.A, state.B,
-            state.value, state.d_current, state.eps_hist, state.eps_count)
-    (eps, count, accepted, x_c, u_c, A_c, B_c, value_c, d_c, hist,
-     hist_n) = lax.while_loop(cond, trial, init)
+            jnp.zeros((), bool), jnp.zeros((), dtype), state.value,
+            state.eps_hist, state.eps_count)
+    body = trial if config.ls_chunk == 1 else chunk_round
+    (eps, count, accepted, eps_acc, value_c, hist,
+     hist_n) = lax.while_loop(cond, body, init)
+
+    # Re-materialize the accepted candidate's trajectory: identical inputs
+    # through the identical ops as its in-loop evaluation, so this is the
+    # same result without ever threading (T, ·) stacks through the loop.
+    # For lanes that accepted nothing (failed), eps_acc is 0 and the
+    # selects below keep the pre-search state.
+    l_acc = state.l + eps_acc * dl
+    x_n, u_n, A_n, B_n = rollout_feedback_with_jac(
+        problem, state.x, l_acc, state.L, unroll=config.scan_unroll)
+    d_n = max_control_deviation(state.l, u_n)
+    sel = lambda new, old: jnp.where(accepted, new, old)
 
     # Adaptive ε_init warm start (ileqg.jl:582-591).
     if config.adaptive_eps_init:
@@ -161,7 +234,9 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         eps_init_next = state.eps_init_cur
 
     return state._replace(
-        x=x_c, l=u_c, A=A_c, B=B_c, value=value_c, d_current=d_c,
+        x=sel(x_n, state.x), l=sel(u_n, state.l), A=sel(A_n, state.A),
+        B=sel(B_n, state.B), value=value_c,
+        d_current=sel(d_n, state.d_current),
         eps_hist=hist, eps_count=hist_n, eps_init_cur=eps_init_next,
         failed=state.failed | ~accepted)
 
@@ -169,7 +244,15 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
 def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
           theta: Array) -> _State:
     """One iLEQG iteration: approximate → optimizing DP → line search
-    (``ileqg.jl:598-613``)."""
+    (``ileqg.jl:598-613``).
+
+    The re-approximation here duplicates the accepted line-search
+    candidate's AD pass bit-for-bit; carrying that stack through the
+    while-loop instead was measured SLOWER on the TPU runtime (the
+    ~50 MB Approximation pytree crossing two nested while-loop carry
+    boundaries every round costs more than recomputing it: warm bank
+    throughput halved, 30k→15k solves/s).  Keep the recompute.
+    """
     approx = approximate_model(problem, state.l, state.x, state.A, state.B)
     _, L_new, dl, mu, delta, fail_opt = dp_optimize(
         approx, theta=theta, mu=state.mu, delta=state.delta,
