@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)  # for the CPU f64 oracle only
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache here: this script compiles XLA:CPU graphs
+# (the f64 oracle) and reloading CPU AOT executables on this VM hits a
+# machine-feature mismatch (segfault risk) — the cache is TPU-only.
 
 from ratilqr_tpu.models import cartpole, quadrotor, unicycle
 from ratilqr_tpu.ops.approx import approximate_model
@@ -157,7 +158,18 @@ def main():
 
     tpu = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
-    results = {"device": str(tpu), "lanes": B}
+    results = {
+        "device": str(tpu), "lanes": B,
+        "notes": (
+            "Inputs are RANDOM schedules with theta spanning feasibility "
+            "(not converged trajectories) — a deliberately hard fidelity "
+            "probe. Deviations are per-lane maxima over valid (f64-oracle "
+            "non-failed) lanes, reported p50/p99/max. kernel_vs_f64 is the "
+            "accuracy statement; kernel_vs_scan mostly measures the SCAN "
+            "path's error (XLA reduced-precision f32 matmuls compound "
+            "over the recursion; the core now forces highest-precision "
+            "matmuls for exactly this reason)."),
+    }
     assert tpu.platform != "cpu", (
         "run on the real chip — this artifact exists to pin on-TPU "
         "Mosaic numerics, not interpret mode")

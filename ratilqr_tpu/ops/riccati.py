@@ -174,8 +174,15 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
     if not optimizing:
         xs = xs + (L_traj, dl_traj)
 
-    (_, _, _, m_fail, h_fail), ys = lax.scan(step, init, xs, reverse=True,
-                                             unroll=unroll)
+    # TPU lowers f32 dot_general to reduced-precision MXU passes by
+    # default; compounded over the T-step recursion this loses ~4 digits
+    # on the gains (measured: scan-vs-f64 gain deviation >100% at T=100
+    # where the true-f32 Pallas kernel holds 5e-5 — see
+    # benchmarks/pallas_tpu_verification.json).  These matmuls are 3×3 —
+    # full-precision passes cost nothing; CPU ignores the setting.
+    with jax.default_matmul_precision("highest"):
+        (_, _, _, m_fail, h_fail), ys = lax.scan(step, init, xs,
+                                                 reverse=True, unroll=unroll)
     s_s, s_vec_s, S_s, g_s, G_s, H_s, L_out, dl_out = ys
 
     dp = DPResult(
@@ -189,11 +196,13 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
 # --- Pallas bank dispatch -------------------------------------------------
 #
 # When a whole bank of Riccati passes runs under `vmap` on TPU, the fused
-# Pallas kernel (ops/riccati_pallas.py) replaces the vmapped scan: ~5x
-# faster on-device and tighter f32 accuracy (2e-5 vs 1e-2 rel-dev against
-# an f64 oracle, measured at T=100).  `jax.custom_batching.custom_vmap`
-# keeps the per-example semantics identical — unbatched calls and non-TPU
-# backends take the scan path.
+# Pallas kernel (ops/riccati_pallas.py) replaces the vmapped scan: ~160x
+# faster on-device (152us vs 24.9ms for a B=2048 T=100 pass — ~60% of the
+# HBM roofline) and tighter f32 accuracy (p50 rel-dev vs an f64 oracle:
+# ~5e-5 on gains where the scan path loses digits through the recursion;
+# measured artifact: benchmarks/pallas_tpu_verification.json).
+# `jax.custom_batching.custom_vmap` keeps the per-example semantics
+# identical — unbatched calls and non-TPU backends take the scan path.
 
 import os as _os
 

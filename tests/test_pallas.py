@@ -1,9 +1,11 @@
 """Pallas Riccati bank kernel tests (interpret mode on CPU).
 
 On TPU the same kernel compiles via Mosaic; equivalence there is exercised
-by bench.py and the TPU verification drives.  Numerics note: on real TPU
-the kernel is *tighter* than the XLA scan path in f32 (measured 2e-5 vs
-1e-2 rel-dev against an f64 oracle at T=100).
+by bench.py and the recorded artifact benchmarks/pallas_tpu_verification.json
+(produced on the real chip by benchmarks/verify_pallas_tpu.py).  Numerics
+note: on real TPU the kernel is *tighter* than the XLA scan path in f32
+(p50 gain rel-dev vs an f64 oracle ~5e-5, vs the scan's reduced-precision
+matmul drift — see the artifact).
 """
 import os
 
