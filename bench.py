@@ -57,7 +57,11 @@ def fetch(x) -> np.ndarray:
 def main():
     dtype = jnp.float32
     T = 100
-    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    # One ~27 ms tunnel round trip per dispatch dominates small banks
+    # (marginal device cost is ~1.9 µs/solve warm); 16k lanes amortize it
+    # inside a 55 ms re-plan — a fleet-MPC-plausible cycle.  The B-scaling
+    # curve is in BASELINE.md.
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "1"))
     problem = unicycle(N=T, dtype=dtype)
     # Reference iteration budget (ileqg.jl:192) + adaptive ε warm start
