@@ -203,6 +203,14 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
 # measured artifact: benchmarks/pallas_tpu_verification.json).
 # `jax.custom_batching.custom_vmap` keeps the per-example semantics
 # identical — unbatched calls and non-TPU backends take the scan path.
+#
+# The solver hot path uses `slim=True` cores: the kernel writes only what
+# the solver reads (value/L/dl/fails), and the lane-invariant noise model
+# (W/W_inv/logdet_W — constants of the problem, unbatched under the lane
+# vmap) is NOT broadcast to the bank: the batching rules forward it
+# unbatched and the kernel streams it via SMEM once per step instead of
+# once per lane per step.  The workload is HBM-bound (docs/performance.md),
+# so these cuts are a direct kernel-time reduction.
 
 import os as _os
 
@@ -218,11 +226,40 @@ def _pallas_eligible(axis_size: int, dtype) -> bool:
                 "RATILQR_PALLAS_MIN_LANES", "256")))
 
 
+_W_FIELDS = ("W", "W_inv", "logdet_W")
+
+
+def _bc_args(axis_size, in_batched, args, keep_w_shared: bool):
+    """Broadcast unbatched args to the lane axis.
+
+    With ``keep_w_shared``, the approximation's noise-model fields are left
+    unbatched when they were not vmapped over (the common case: W depends
+    only on the problem) — the Pallas path streams them via SMEM.
+    """
+    def bc(x, b):
+        if b:
+            return x
+        x = jnp.asarray(x)
+        return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
+    if keep_w_shared:
+        approx, approx_b = args[0], args_b[0]
+        batched = in_batched[0]
+        args_b = (approx_b._replace(**{
+            f: (getattr(approx_b, f) if getattr(batched, f)
+                else jnp.asarray(getattr(approx, f)))
+            for f in _W_FIELDS
+        }),) + args_b[1:]
+    return args_b
+
+
 from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=64)
-def _make_core(optimizing: bool, unroll: int):
+def _make_core(optimizing: bool, unroll: int, slim: bool = False,
+               has_dl: bool = True):
     """Build the custom_vmap-wrapped Riccati core for one mode/unroll.
 
     Nested ``vmap`` levels (e.g. the line-search candidate chunk inside the
@@ -233,10 +270,35 @@ def _make_core(optimizing: bool, unroll: int):
     Pallas kernel therefore sees the FULL flattened lane count (B·c) instead
     of only the innermost chunk — without this, a candidate chunk of 8 would
     fall below the lane threshold and silently lose the kernel.
+
+    ``slim`` selects the reduced-output variant (see module comment);
+    ``has_dl`` (evaluating mode only) selects whether a ``dl`` stream
+    exists (``False`` evaluates the pure-feedback policy without streaming
+    zeros).  The scan path implements slim by slicing the full core — jit
+    DCE then prunes the unused recursion outputs.
     """
     if optimizing:
-        def core(approx, theta, mu):
-            return _riccati_core(approx, theta, mu, None, None, unroll)
+        if slim:
+            def core(approx, theta, mu):
+                dp, L, dl, m_fail, h_fail = _riccati_core(
+                    approx, theta, mu, None, None, unroll)
+                return dp.s[0], L, dl, m_fail, h_fail
+        else:
+            def core(approx, theta, mu):
+                return _riccati_core(approx, theta, mu, None, None, unroll)
+    elif slim:
+        if has_dl:
+            def core(approx, theta, mu, L_traj, dl_traj):
+                dp, _, _, m_fail, _ = _riccati_core(
+                    approx, theta, mu, L_traj, dl_traj, unroll)
+                return dp.s[0], m_fail
+        else:
+            def core(approx, theta, mu, L_traj):
+                dl0 = jnp.zeros((approx.N, approx.B.shape[-1]),
+                                approx.A.dtype)
+                dp, _, _, m_fail, _ = _riccati_core(
+                    approx, theta, mu, L_traj, dl0, unroll)
+                return dp.s[0], m_fail
     else:
         def core(approx, theta, mu, L_traj, dl_traj):
             return _riccati_core(approx, theta, mu, L_traj, dl_traj, unroll)
@@ -249,10 +311,18 @@ def _make_core(optimizing: bool, unroll: int):
         if _pallas_eligible(axis_size, dtype):
             from ratilqr_tpu.ops.riccati_pallas import riccati_bank
             if optimizing:
-                bank = riccati_bank(approx_b, theta_b, args[2])
+                bank = riccati_bank(approx_b, theta_b, args[2], slim=slim)
+            elif has_dl or not slim:
+                bank = riccati_bank(approx_b, theta_b, args[2], args[3],
+                                    args[4], slim=slim)
             else:
                 bank = riccati_bank(approx_b, theta_b, args[2], args[3],
-                                    args[4])
+                                    slim=slim)
+            if slim:
+                if optimizing:
+                    return (bank.value, bank.L, bank.dl, bank.m_fail,
+                            bank.h_fail)
+                return (bank.value, bank.m_fail)
             dp = DPResult(
                 s=jnp.concatenate(
                     [bank.s, approx_b.q_term[:, None]], axis=1),
@@ -262,22 +332,55 @@ def _make_core(optimizing: bool, unroll: int):
                     [bank.S, approx_b.Q_term[:, None]], axis=1),
                 g=bank.g, G=bank.G, H=bank.H)
             return (dp, bank.L, bank.dl, bank.m_fail, bank.h_fail)
+        # Scan fallback: re-broadcast any noise-model fields a batching
+        # rule left unbatched (vmap needs every input batched).
+        if approx_b.W.ndim == 3:
+            approx_b = approx_b._replace(**{
+                f: jnp.broadcast_to(
+                    getattr(approx_b, f)[None],
+                    (axis_size,) + getattr(approx_b, f).shape)
+                for f in _W_FIELDS})
+            args = (approx_b,) + args[1:]
         return jax.vmap(core)(*args)
 
     banked_cv = jax.custom_batching.custom_vmap(banked)
 
     @banked_cv.def_vmap
     def _flatten_rule(axis_size, in_batched, *args):
-        def bc(x, b):
-            if b:
-                return x
-            x = jnp.asarray(x)
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        # Whether the flattened bank takes the Pallas path is decided by
+        # `banked` itself; keeping the W-fields unbatched here is safe
+        # either way because `banked` re-broadcasts for the scan fallback.
+        inner = args[1].shape[-1]  # theta: (axis, inner) or (inner,)
+        approx = args[0]
+        base_ndim = {"W": 3, "W_inv": 3, "logdet_W": 1}
 
-        args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
-        inner = args_b[1].shape[1]  # theta: (axis_size, inner)
+        def norm_w(f):
+            """Normalize a noise-model field to shared (base rank) when it
+            is lane-invariant at BOTH vmap levels, else to fully batched
+            ``(axis·inner, ...)``."""
+            x = jnp.asarray(getattr(approx, f))
+            b = getattr(in_batched[0], f)
+            base = base_ndim[f]
+            if not b and x.ndim == base:          # shared at both levels
+                return x
+            if not b:                             # per-lane, outer-invariant
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            elif x.ndim == base + 1:              # shared-inner, outer-batched
+                x = jnp.broadcast_to(x[:, None],
+                                     (axis_size, inner) + x.shape[1:])
+            return x.reshape((axis_size * inner,) + x.shape[2:])
+
+        w_norm = {f: norm_w(f) for f in _W_FIELDS}
+        # Everything else: broadcast to (axis, inner, ...) then flatten.
+        placeholder = approx._replace(
+            **{f: jnp.zeros((axis_size, inner), approx.q.dtype)
+               for f in _W_FIELDS})
+        ib0 = in_batched[0]._replace(**{f: True for f in _W_FIELDS})
+        args_b = _bc_args(axis_size, (ib0,) + tuple(in_batched[1:]),
+                          (placeholder,) + args[1:], keep_w_shared=False)
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((axis_size * inner,) + x.shape[2:]), args_b)
+        flat = (flat[0]._replace(**w_norm),) + flat[1:]
         out = banked_cv(*flat)
         out = jax.tree_util.tree_map(
             lambda x: x.reshape((axis_size, inner) + x.shape[1:]), out)
@@ -287,38 +390,47 @@ def _make_core(optimizing: bool, unroll: int):
 
     @cv.def_vmap
     def _rule(axis_size, in_batched, *args):
-        def bc(x, b):
-            if b:
-                return x
-            x = jnp.asarray(x)
-            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        args_b = jax.tree_util.tree_map(bc, args, tuple(in_batched))
+        args_b = _bc_args(axis_size, in_batched, args, keep_w_shared=True)
         out = banked_cv(*args_b)
         return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return cv
 
 
-def _core_dispatch(approx, theta, mu, L_traj, dl_traj, unroll):
+def _core_dispatch(approx, theta, mu, L_traj, dl_traj, unroll,
+                   slim: bool = False):
     if L_traj is None:
-        return _make_core(True, unroll)(approx, theta, mu)
+        return _make_core(True, unroll, slim)(approx, theta, mu)
     if dl_traj is None:
+        if slim:
+            return _make_core(False, unroll, True, has_dl=False)(
+                approx, theta, mu, L_traj)
         dl_traj = jnp.zeros((approx.N, approx.B.shape[-1]), approx.A.dtype)
-    return _make_core(False, unroll)(approx, theta, mu, L_traj, dl_traj)
+    return _make_core(False, unroll, slim)(approx, theta, mu, L_traj,
+                                           dl_traj)
 
 
 def dp_evaluate(approx: Approximation, L_traj: Array,
                 dl_traj: Optional[Array] = None, *, theta: Array,
-                mu: Array, unroll: int = 1) -> Tuple[DPResult, Array]:
+                mu: Array, unroll: int = 1,
+                slim: bool = False) -> Tuple[DPResult, Array]:
     """Policy-evaluating backward pass under fixed gains.
 
     Counterpart of ``solve_approximate_dp`` (``ileqg.jl:412-465``).  Returns
     ``(dp_result, failed)`` where ``failed`` replaces the reference's M-PSD
     assert/throw ("neurotic breakdown", ``ileqg.jl:440``).
+
+    With ``slim=True`` the first element is the scalar cost-to-go
+    ``dp_result.value`` instead of the full :class:`DPResult` — the solver
+    hot path's variant (only the initial-time value is consumed; the Pallas
+    kernel then skips writing the per-step stacks entirely).
     """
     theta = jnp.asarray(theta, approx.A.dtype)
     mu = jnp.asarray(mu, approx.A.dtype)
+    if slim:
+        value, m_fail = _core_dispatch(approx, theta, mu, L_traj, dl_traj,
+                                       unroll, slim=True)
+        return value, m_fail
     dp, _, _, m_fail, _ = _core_dispatch(approx, theta, mu, L_traj,
                                          dl_traj, unroll)
     return dp, m_fail
@@ -329,32 +441,36 @@ def mu_restart_loop(run, mu: Array, delta: Array, mu_min: float,
     """Shared μ-restart retry harness (``ileqg.jl:358-401``): re-run the
     full backward pass with escalated μ while some H_t is not PSD.
 
-    ``run(mu) -> (dp, L, dl, m_fail, h_fail)``.  Returns
-    ``(dp, L, dl, mu, delta, failed)``.  Used by both the sequential and
-    the parallel-in-time backends so restart semantics cannot drift.
+    ``run(mu) -> (*payload, m_fail, h_fail)`` for any non-empty payload
+    (the sequential backend passes ``(dp, L, dl)`` or slim ``(value, L,
+    dl)``; the parallel backend ``(dp, L, dl)``).  Returns
+    ``(*payload, mu, delta, failed)``.  Used by every backend so restart
+    semantics cannot drift.
     """
-    dp0, L0, dl0, m_fail0, h_fail0 = run(mu)
-    state = (dp0, L0, dl0, mu, delta, m_fail0, h_fail0,
+    out0 = run(mu)
+    payload0, m_fail0, h_fail0 = out0[:-2], out0[-2], out0[-1]
+    state = (payload0, mu, delta, m_fail0, h_fail0,
              jnp.zeros((), jnp.int32))
 
     def cond(state):
-        *_, m_fail, h_fail, k = state
+        _, _, _, m_fail, h_fail, k = state
         return h_fail & ~m_fail & (k < max_restarts)
 
     def body(state):
-        _, _, _, mu_v, delta_v, _, _, k = state
+        _, mu_v, delta_v, _, _, k = state
         mu_v, delta_v = increase_mu_delta(mu_v, delta_v, mu_min, delta_0)
-        dp, L, dl, m_fail, h_fail = run(mu_v)
-        return (dp, L, dl, mu_v, delta_v, m_fail, h_fail, k + 1)
+        out = run(mu_v)
+        return (out[:-2], mu_v, delta_v, out[-2], out[-1], k + 1)
 
-    dp, L, dl, mu, delta, m_fail, h_fail, _ = lax.while_loop(
+    payload, mu, delta, m_fail, h_fail, _ = lax.while_loop(
         cond, body, state)
-    return dp, L, dl, mu, delta, m_fail | h_fail
+    return (*payload, mu, delta, m_fail | h_fail)
 
 
 def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
                 delta: Array, mu_min: float, delta_0: float,
-                max_restarts: int = MAX_MU_RESTARTS, unroll: int = 1
+                max_restarts: int = MAX_MU_RESTARTS, unroll: int = 1,
+                slim: bool = False
                 ) -> Tuple[DPResult, Array, Array, Array, Array, Array]:
     """Policy-optimizing backward pass with the μ-restart retry loop.
 
@@ -364,7 +480,9 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
 
     Returns ``(dp_result, L, dl, mu, delta, failed)``; ``failed`` is True on
     neurotic breakdown (non-PSD M — the reference throws) or restart-budget
-    exhaustion.
+    exhaustion.  With ``slim=True`` the first element is the scalar value
+    instead of the full :class:`DPResult` (same tuple arity; the solver hot
+    path's variant — the Pallas kernel skips the unused per-step stacks).
     """
     dtype = approx.A.dtype
     theta = jnp.asarray(theta, dtype)
@@ -372,6 +490,7 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
     delta = jnp.asarray(delta, dtype)
 
     def run(mu_v):
-        return _core_dispatch(approx, theta, mu_v, None, None, unroll)
+        return _core_dispatch(approx, theta, mu_v, None, None, unroll,
+                              slim=slim)
 
     return mu_restart_loop(run, mu, delta, mu_min, delta_0, max_restarts)

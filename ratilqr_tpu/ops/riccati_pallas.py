@@ -23,11 +23,30 @@ whole bank of lanes — into a single Mosaic program:
 The kernel handles both the policy-optimizing pass (``solve_approximate_
 dp!``) and the policy-evaluating pass (``solve_approximate_dp``) via a
 static flag.
+
+The workload is HBM-bound at arithmetic intensity ≈2 FLOP/B
+(docs/performance.md "Speed of light"), so the kernel's cost is set by
+what it streams.  Three traffic reductions beyond the baseline layout:
+
+  - **slim outputs** (``slim=True``): the solver's hot path consumes only
+    ``(value, L, dl, fails)`` from the optimizing pass and ``(value,
+    fails)`` from the evaluating pass (``solvers/ileqg.py``); slim mode
+    skips writing the unused per-step ``s/s⃗/S/g/G/H`` stacks — 25 of the
+    33 output floats/step/lane.
+  - **no zero streams**: the optimizing pass takes no ``L_in/dl_in``
+    inputs at all (the old kernel streamed 8 floats/step/lane of zeros),
+    and the evaluating pass streams ``dl_in`` only when the caller has one.
+  - **shared noise model in SMEM**: ``W/W⁻¹/logdet W`` depend only on the
+    problem, not the lane; when the caller passes them *unbatched*
+    (``(T, n, n)`` instead of ``(B, T, n, n)``) they are streamed once per
+    time step into SMEM as scalars — 19 per-lane floats/step become 19
+    *total* floats/step, and the bank-side broadcast materialization
+    disappears entirely.
 """
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -139,16 +158,37 @@ def _trace_prod(A: Array, B: Array) -> Array:
 
 # --- the kernel ----------------------------------------------------------
 
-def _riccati_kernel(optimizing: bool, T: int,
-                    # inputs (per grid step unless noted)
-                    q_ref, qv_ref, Q_ref, r_ref, R_ref, P_ref, A_ref, B_ref,
-                    W_ref, Wi_ref, ldW_ref, qT_ref, qvT_ref, QT_ref,
-                    theta_ref, mu_ref, L_in_ref, dl_in_ref,
-                    # outputs (per grid step unless noted)
-                    s_ref, svec_ref, S_ref, g_ref, G_ref, H_ref, L_ref,
-                    dl_ref, mfail_ref, hfail_ref,
-                    # scratch (persists across the T grid dimension)
-                    S_sc, svec_sc, s_sc, mfail_sc, hfail_sc):
+class _Cfg(NamedTuple):
+    """Static kernel configuration (one compiled variant per value)."""
+    optimizing: bool
+    slim: bool
+    w_shared: bool   # W/W_inv/logdet_W lane-invariant, streamed via SMEM
+    has_dl: bool     # evaluating mode only: a dl_in stream exists
+
+
+def _riccati_kernel(cfg: _Cfg, *refs):
+    it = iter(refs)
+    q_ref, qv_ref, Q_ref, r_ref, R_ref, P_ref, A_ref, B_ref = (
+        next(it) for _ in range(8))
+    W_ref, Wi_ref, ldW_ref = (next(it) for _ in range(3))
+    qT_ref, qvT_ref, QT_ref, theta_ref, mu_ref = (
+        next(it) for _ in range(5))
+    L_in_ref = dl_in_ref = None
+    if not cfg.optimizing:
+        L_in_ref = next(it)
+        if cfg.has_dl:
+            dl_in_ref = next(it)
+    if cfg.slim:
+        if cfg.optimizing:
+            val_ref, L_ref, dl_ref, mfail_ref, hfail_ref = (
+                next(it) for _ in range(5))
+        else:
+            val_ref, mfail_ref, hfail_ref = (next(it) for _ in range(3))
+    else:
+        (s_ref, svec_ref, S_ref, g_ref, G_ref, H_ref, L_ref, dl_ref,
+         mfail_ref, hfail_ref) = (next(it) for _ in range(10))
+    S_sc, svec_sc, s_sc, mfail_sc, hfail_sc = (next(it) for _ in range(5))
+
     ti = pl.program_id(1)
 
     @pl.when(ti == 0)
@@ -179,15 +219,17 @@ def _riccati_kernel(optimizing: bool, T: int,
     P = P_ref[...]
     A = A_ref[...]
     B = B_ref[...]
-    W = W_ref[...]
-    W_inv = Wi_ref[...]
-    logdet_W = ldW_ref[...]
 
     n = A.shape[0]
     m = B.shape[1]
 
-    # M = W⁻¹ − θ S'  (ileqg.jl:365)
-    M = _sym(W_inv - theta[None, None] * S)
+    # M = W⁻¹ − θ S'  (ileqg.jl:365).  With a shared noise model, W-terms
+    # are SMEM scalars broadcast against the lane tiles.
+    if cfg.w_shared:
+        M = _sym(_mat([[Wi_ref[i, j] - theta * S[i, j] for j in range(n)]
+                       for i in range(n)]))
+    else:
+        M = _sym(Wi_ref[...] - theta[None, None] * S)
     M_chol = _chol(M)
     m_ok = _chol_ok_mask(M_chol)
     m_fail = jnp.where(~failed & ~m_ok, 1.0, m_fail)
@@ -207,7 +249,7 @@ def _riccati_kernel(optimizing: bool, T: int,
                    for j in range(m)] for i in range(m)])
     H = _sym(R + _mmul(_mmul(Bt, DS), B) + eye_m)      # ileqg.jl:370-371
 
-    if optimizing:
+    if cfg.optimizing:
         H_chol = _chol(H)
         h_ok = _chol_ok_mask(H_chol)
         h_fail = jnp.where(~failed & ~(m_fail > 0) & ~h_ok, 1.0, h_fail)
@@ -215,13 +257,20 @@ def _riccati_kernel(optimizing: bool, T: int,
         dl = -_cho_solve_vec(H_chol, g)                # ileqg.jl:381
     else:
         L = L_in_ref[...]
-        dl = dl_in_ref[...]
+        dl = (dl_in_ref[...] if cfg.has_dl
+              else jnp.zeros((m,) + theta.shape, theta.dtype))
 
     Hdl = _mvec(H, dl)
     s_new = q + s + 0.5 * _dot(dl, Hdl) + _dot(dl, g)  # ileqg.jl:383
     Minv_svec = _cho_solve_vec(M_chol, s_vec)
     logdet_M = _cho_logdet(M_chol)
-    risk_neutral = 0.5 * _trace_prod(W, S)
+    if cfg.w_shared:
+        risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
+                                 for i in range(n) for j in range(n))
+        logdet_W = ldW_ref[0, 0]
+    else:
+        risk_neutral = 0.5 * _trace_prod(W_ref[...], S)
+        logdet_W = ldW_ref[...]
     risk_sensitive = (0.5 * theta * _dot(s_vec, Minv_svec)
                       - (logdet_W + logdet_M) / (2.0 * theta_safe))
     s_new = s_new + jnp.where(theta_is_zero, risk_neutral, risk_sensitive)
@@ -233,14 +282,22 @@ def _riccati_kernel(optimizing: bool, T: int,
                  + _mmul(Lt, G) + _mmul(_t(G), L))     # ileqg.jl:390-391
 
     # per-step outputs
-    s_ref[...] = s_new
-    svec_ref[...] = s_vec_new
-    S_ref[...] = S_new
-    g_ref[...] = g
-    G_ref[...] = G
-    H_ref[...] = H
-    L_ref[...] = L
-    dl_ref[...] = dl
+    if cfg.slim:
+        # value (= s at the last grid step, initial time): written every
+        # step to a time-invariant block, last write wins (like the masks).
+        val_ref[...] = s_new
+        if cfg.optimizing:
+            L_ref[...] = L
+            dl_ref[...] = dl
+    else:
+        s_ref[...] = s_new
+        svec_ref[...] = s_vec_new
+        S_ref[...] = S_new
+        g_ref[...] = g
+        G_ref[...] = G
+        H_ref[...] = H
+        L_ref[...] = L
+        dl_ref[...] = dl
 
     # carry
     S_sc[...] = S_new
@@ -268,6 +325,15 @@ class BankDP(NamedTuple):
     h_fail: Array  # (B,) bool
 
 
+class BankSlim(NamedTuple):
+    """Slim lane-batched DP result — only what the solver hot path reads."""
+    value: Array             # (B,)  cost-to-go at the initial time
+    L: Optional[Array]       # (B, T, m, n); None in evaluating mode
+    dl: Optional[Array]      # (B, T, m);    None in evaluating mode
+    m_fail: Array            # (B,) bool
+    h_fail: Array            # (B,) bool
+
+
 def _to_lanes(x: Array, B_pad: int) -> Array:
     """(B, T, *dims) -> (T, *dims, tiles, 8, 128) lane-last layout."""
     B = x.shape[0]
@@ -289,20 +355,35 @@ def _from_lanes(x: Array, B: int) -> Array:
 
 def riccati_bank(approx_b, theta: Array, mu: Array,
                  L_in: Optional[Array] = None,
-                 dl_in: Optional[Array] = None) -> BankDP:
+                 dl_in: Optional[Array] = None, *, slim: bool = False):
     """Run the fused backward pass for a whole bank.
 
     Args:
       approx_b: an ``Approximation`` pytree with a leading bank axis ``B``
-        on every field (including the terminal entries).
+        on every field (including the terminal entries) — except that
+        ``W``/``W_inv``/``logdet_W`` MAY be passed unbatched
+        (``(T, n, n)``/``(T,)``) when the noise model is lane-invariant;
+        they are then streamed through SMEM once per step instead of once
+        per lane per step.
       theta, mu: ``(B,)`` per-lane parameters.
       L_in, dl_in: fixed policy for the evaluating mode (``(B, T, m, n)`` /
-        ``(B, T, m)``); ``None`` → optimizing mode.
+        ``(B, T, m)``); ``None`` → optimizing mode.  ``dl_in=None`` with
+        ``L_in`` given evaluates the pure-feedback policy (dl ≡ 0) without
+        streaming zeros.
+      slim: write only the outputs the solver consumes — optimizing:
+        ``(value, L, dl, fails)``; evaluating: ``(value, fails)`` — as a
+        :class:`BankSlim`.  ``slim=False`` returns the full
+        :class:`BankDP`.
 
     Lanes are padded up to a multiple of 1024 (8×128 VPU tiles); padded
     lanes compute garbage that is sliced away.
     """
     optimizing = L_in is None
+    has_dl = (not optimizing) and (dl_in is not None)
+    w_shared = approx_b.W.ndim == 3
+    assert (approx_b.W_inv.ndim == approx_b.W.ndim
+            and approx_b.logdet_W.ndim == approx_b.W.ndim - 2), \
+        "W/W_inv/logdet_W must be consistently batched or consistently not"
     B, T = approx_b.q.shape[0], approx_b.q.shape[1]
     n = approx_b.A.shape[-1]
     m = approx_b.B.shape[-1]
@@ -310,45 +391,13 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
     B_pad = max(LANES, ((B + LANES - 1) // LANES) * LANES)
     tiles = B_pad // LANES
 
-    # Pad W_inv of padded lanes with identity so their Cholesky stays
-    # finite (keeps NaN-latching semantics clean even though padded lanes
-    # are discarded).
     def prep(x):
         return _to_lanes(jnp.asarray(x, dtype), B_pad)
 
-    q = prep(approx_b.q)
-    qv = prep(approx_b.q_vec)
-    Q = prep(approx_b.Q)
-    r = prep(approx_b.r)
-    R = prep(approx_b.R)
-    P = prep(approx_b.P)
-    A = prep(approx_b.A)
-    Bm = prep(approx_b.B)
-    W = prep(approx_b.W)
-    eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype),
-                               (B_pad - B, T, n, n)) if B_pad > B else None
-    Wi_full = jnp.asarray(approx_b.W_inv, dtype)
-    if eye_pad is not None:
-        Wi_full = jnp.concatenate([Wi_full, eye_pad], axis=0)
-    Wi = _to_lanes(Wi_full, B_pad)
-    ldW = prep(approx_b.logdet_W)
-    # terminal entries: (B, ...) -> (..., tiles, 8, 128)
-    qT = _to_lanes(approx_b.q_term[:, None], B_pad)[0]
-    qvT = _to_lanes(approx_b.q_vec_term[:, None], B_pad)[0]
-    QT = _to_lanes(approx_b.Q_term[:, None], B_pad)[0]
-    th = _to_lanes(theta.astype(dtype)[:, None], B_pad)[0]
-    mu_l = _to_lanes(mu.astype(dtype)[:, None], B_pad)[0]
-    if optimizing:
-        L_l = jnp.zeros((T, m, n, tiles) + LANE_TILE, dtype)
-        dl_l = jnp.zeros((T, m, tiles) + LANE_TILE, dtype)
-    else:
-        L_l = prep(L_in)
-        dl_l = prep(dl_in)
-
     S8, L8 = LANE_TILE
 
-    def bspec(*dims, time=True, rev=True):
-        """BlockSpec walking one t-slice per grid step (backward).
+    def bspec(*dims, time=True):
+        """VMEM BlockSpec walking one t-slice per grid step (backward).
 
         ``None`` block entries squeeze the singleton time/tile axes so the
         kernel sees plain ``(*dims, 8, 128)`` blocks."""
@@ -356,8 +405,7 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
             blk = (None,) + dims + (None, S8, L8)
 
             def imap(bi, ti):
-                t = (T - 1 - ti) if rev else ti
-                return (t,) + (0,) * len(dims) + (bi, 0, 0)
+                return (T - 1 - ti,) + (0,) * len(dims) + (bi, 0, 0)
         else:
             blk = dims + (None, S8, L8)
 
@@ -365,46 +413,95 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
                 return (0,) * len(dims) + (bi, 0, 0)
         return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_riccati_kernel, optimizing, T)
+    def sspec(*dims):
+        """SMEM BlockSpec for lane-invariant per-step data."""
+        blk = (None,) + dims
 
-    grid = (tiles, T)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, tiles, S8, L8), dtype),            # s
-        jax.ShapeDtypeStruct((T, n, tiles, S8, L8), dtype),         # s_vec
-        jax.ShapeDtypeStruct((T, n, n, tiles, S8, L8), dtype),      # S
-        jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # g
-        jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # G
-        jax.ShapeDtypeStruct((T, m, m, tiles, S8, L8), dtype),      # H
-        jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # L
-        jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # dl
-        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # m_fail
-        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # h_fail
-    )
-    out_specs = (
-        bspec(), bspec(n), bspec(n, n), bspec(m), bspec(m, n),
-        bspec(m, m), bspec(m, n), bspec(m),
-        bspec(time=False), bspec(time=False),
-    )
-    in_specs = [
-        bspec(),            # q
-        bspec(n),           # q_vec
-        bspec(n, n),        # Q
-        bspec(m),           # r
-        bspec(m, m),        # R
-        bspec(m, n),        # P
-        bspec(n, n),        # A
-        bspec(n, m),        # B
-        bspec(n, n),        # W
-        bspec(n, n),        # W_inv
-        bspec(),            # logdet_W
-        bspec(time=False),        # q_term
-        bspec(n, time=False),     # q_vec_term
-        bspec(n, n, time=False),  # Q_term
-        bspec(time=False),        # theta
-        bspec(time=False),        # mu
-        bspec(m, n),        # L_in
-        bspec(m),           # dl_in
-    ]
+        def imap(bi, ti):
+            return (T - 1 - ti,) + (0,) * len(dims)
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.SMEM)
+
+    # --- inputs ---------------------------------------------------------
+    inputs = [prep(approx_b.q), prep(approx_b.q_vec), prep(approx_b.Q),
+              prep(approx_b.r), prep(approx_b.R), prep(approx_b.P),
+              prep(approx_b.A), prep(approx_b.B)]
+    in_specs = [bspec(), bspec(n), bspec(n, n), bspec(m), bspec(m, m),
+                bspec(m, n), bspec(n, n), bspec(n, m)]
+
+    if w_shared:
+        inputs += [jnp.asarray(approx_b.W, dtype),
+                   jnp.asarray(approx_b.W_inv, dtype),
+                   jnp.asarray(approx_b.logdet_W, dtype).reshape(T, 1, 1)]
+        in_specs += [sspec(n, n), sspec(n, n), sspec(1, 1)]
+    else:
+        # Pad W_inv of padded lanes with identity so their Cholesky stays
+        # finite (keeps NaN-latching semantics clean even though padded
+        # lanes are discarded).
+        Wi_full = jnp.asarray(approx_b.W_inv, dtype)
+        if B_pad > B:
+            eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype),
+                                       (B_pad - B, T, n, n))
+            Wi_full = jnp.concatenate([Wi_full, eye_pad], axis=0)
+        inputs += [prep(approx_b.W), _to_lanes(Wi_full, B_pad),
+                   prep(approx_b.logdet_W)]
+        in_specs += [bspec(n, n), bspec(n, n), bspec()]
+
+    # terminal entries + per-lane parameters: (B, ...) -> (..., tiles, 8, 128)
+    inputs += [_to_lanes(approx_b.q_term[:, None], B_pad)[0],
+               _to_lanes(approx_b.q_vec_term[:, None], B_pad)[0],
+               _to_lanes(approx_b.Q_term[:, None], B_pad)[0],
+               _to_lanes(theta.astype(dtype)[:, None], B_pad)[0],
+               _to_lanes(mu.astype(dtype)[:, None], B_pad)[0]]
+    in_specs += [bspec(time=False), bspec(n, time=False),
+                 bspec(n, n, time=False), bspec(time=False),
+                 bspec(time=False)]
+
+    if not optimizing:
+        inputs.append(prep(L_in))
+        in_specs.append(bspec(m, n))
+        if has_dl:
+            inputs.append(prep(dl_in))
+            in_specs.append(bspec(m))
+
+    # --- outputs --------------------------------------------------------
+    if slim:
+        if optimizing:
+            out_shapes = (
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),           # val
+                jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),  # L
+                jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),     # dl
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),        # m_fail
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),        # h_fail
+            )
+            out_specs = (bspec(time=False), bspec(m, n), bspec(m),
+                         bspec(time=False), bspec(time=False))
+        else:
+            out_shapes = (
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),           # val
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),        # m_fail
+                jax.ShapeDtypeStruct((tiles, S8, L8), dtype),        # h_fail
+            )
+            out_specs = (bspec(time=False), bspec(time=False),
+                         bspec(time=False))
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((T, tiles, S8, L8), dtype),            # s
+            jax.ShapeDtypeStruct((T, n, tiles, S8, L8), dtype),         # s_vec
+            jax.ShapeDtypeStruct((T, n, n, tiles, S8, L8), dtype),      # S
+            jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # g
+            jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # G
+            jax.ShapeDtypeStruct((T, m, m, tiles, S8, L8), dtype),      # H
+            jax.ShapeDtypeStruct((T, m, n, tiles, S8, L8), dtype),      # L
+            jax.ShapeDtypeStruct((T, m, tiles, S8, L8), dtype),         # dl
+            jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # m_fail
+            jax.ShapeDtypeStruct((tiles, S8, L8), dtype),               # h_fail
+        )
+        out_specs = (
+            bspec(), bspec(n), bspec(n, n), bspec(m), bspec(m, n),
+            bspec(m, m), bspec(m, n), bspec(m),
+            bspec(time=False), bspec(time=False),
+        )
+
     scratch = [
         pltpu.VMEM((n, n, S8, L8), dtype),   # S carry
         pltpu.VMEM((n, S8, L8), dtype),      # s_vec carry
@@ -413,9 +510,11 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
         pltpu.VMEM((S8, L8), dtype),         # h_fail mask
     ]
 
+    cfg = _Cfg(optimizing=optimizing, slim=slim, w_shared=w_shared,
+               has_dl=has_dl)
     call = pl.pallas_call(
-        kernel,
-        grid=grid,
+        functools.partial(_riccati_kernel, cfg),
+        grid=(tiles, T),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -426,15 +525,24 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
     # Mosaic cannot legalize; the kernel itself is pure f32/i32, so trace
     # it with x64 locally disabled.
     with jax.enable_x64(False):
-        outs = call(q, qv, Q, r, R, P, A, Bm, W, Wi, ldW, qT, qvT, QT, th,
-                    mu_l, L_l, dl_l)
+        outs = call(*inputs)
+
+    unl = lambda x: _from_lanes(x, B)
+    scalar = lambda x: _from_lanes(x[None], B)[:, 0]
+    if slim:
+        if optimizing:
+            val, L, dl, mfail, hfail = outs
+            return BankSlim(value=scalar(val), L=unl(L), dl=unl(dl),
+                            m_fail=scalar(mfail) > 0,
+                            h_fail=scalar(hfail) > 0)
+        val, mfail, hfail = outs
+        return BankSlim(value=scalar(val), L=None, dl=None,
+                        m_fail=scalar(mfail) > 0, h_fail=scalar(hfail) > 0)
 
     s, s_vec, S, g, G, H, L, dl, mfail, hfail = outs
-    unl = lambda x: _from_lanes(x, B)
-    mf = _from_lanes(mfail[None], B)[:, 0] > 0
-    hf = _from_lanes(hfail[None], B)[:, 0] > 0
     return BankDP(s=unl(s), s_vec=unl(s_vec), S=unl(S), g=unl(g), G=unl(G),
-                  H=unl(H), L=unl(L), dl=unl(dl), m_fail=mf, h_fail=hf)
+                  H=unl(H), L=unl(L), dl=unl(dl),
+                  m_fail=scalar(mfail) > 0, h_fail=scalar(hfail) > 0)
 
 
 def _use_interpret() -> bool:

@@ -129,9 +129,10 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
             problem, state.x, l_cand, state.L, unroll=config.scan_unroll)
         approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
-        dp_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
-                                   mu=state.mu, unroll=config.scan_unroll)
-        return dp_new.value, ~fail
+        value_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
+                                      mu=state.mu, unroll=config.scan_unroll,
+                                      slim=True)
+        return value_new, ~fail
 
     def trial(carry):
         (eps, count, accepted, eps_acc, value_c, hist, hist_n) = carry
@@ -257,7 +258,7 @@ def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
     _, L_new, dl, mu, delta, fail_opt = dp_optimize(
         approx, theta=theta, mu=state.mu, delta=state.delta,
         mu_min=config.mu_min, delta_0=config.delta_0,
-        unroll=config.scan_unroll)
+        unroll=config.scan_unroll, slim=True)
     state = state._replace(L=L_new, mu=mu, delta=delta,
                            iterations=state.iterations + 1,
                            failed=state.failed | fail_opt)
@@ -280,11 +281,11 @@ def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
                                          unroll=config.scan_unroll)
     L = jnp.zeros((N, m, n), dtype)
     approx = approximate_model(problem, u_init, x, A, B)
-    dp, fail = dp_evaluate(approx, L, None, theta=theta,
-                           mu=jnp.zeros((), dtype),
-                           unroll=config.scan_unroll)
+    value0, fail = dp_evaluate(approx, L, None, theta=theta,
+                               mu=jnp.zeros((), dtype),
+                               unroll=config.scan_unroll, slim=True)
     return _State(
-        x=x, l=u_init, L=L, A=A, B=B, value=dp.value,
+        x=x, l=u_init, L=L, A=A, B=B, value=value0,
         mu=jnp.zeros((), dtype), delta=jnp.asarray(config.delta_0, dtype),
         d_current=jnp.asarray(jnp.inf, dtype),
         eps_init_cur=jnp.asarray(config.eps_init, dtype),

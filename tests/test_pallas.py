@@ -92,6 +92,53 @@ def test_kernel_matches_scan_evaluating(bank_inputs):
                                   np.asarray(hf_ref))
 
 
+def test_kernel_slim_matches_full_optimizing(bank_inputs):
+    # Slim mode writes only (value, L, dl, fails); identical math.
+    ap_b, thetas, mus = bank_inputs
+    full = riccati_bank(ap_b, thetas, mus)
+    slim = riccati_bank(ap_b, thetas, mus, slim=True)
+    np.testing.assert_array_equal(np.asarray(slim.value),
+                                  np.asarray(full.s[:, 0]))
+    np.testing.assert_array_equal(np.asarray(slim.L), np.asarray(full.L))
+    np.testing.assert_array_equal(np.asarray(slim.dl), np.asarray(full.dl))
+    np.testing.assert_array_equal(np.asarray(slim.m_fail),
+                                  np.asarray(full.m_fail))
+    np.testing.assert_array_equal(np.asarray(slim.h_fail),
+                                  np.asarray(full.h_fail))
+
+
+def test_kernel_slim_matches_full_evaluating(bank_inputs):
+    # Evaluating slim without a dl stream ≡ full with streamed zeros.
+    ap_b, thetas, mus = bank_inputs
+    full_opt = riccati_bank(ap_b, thetas, mus)
+    L_fix = full_opt.L
+    full = riccati_bank(ap_b, thetas, mus, L_fix,
+                        jnp.zeros_like(full_opt.dl))
+    slim = riccati_bank(ap_b, thetas, mus, L_fix, slim=True)
+    assert slim.L is None and slim.dl is None
+    np.testing.assert_array_equal(np.asarray(slim.value),
+                                  np.asarray(full.s[:, 0]))
+    np.testing.assert_array_equal(np.asarray(slim.m_fail),
+                                  np.asarray(full.m_fail))
+
+
+def test_kernel_shared_noise_model_matches_batched(bank_inputs):
+    # Lane-invariant W passed unbatched (SMEM path) ≡ per-lane broadcast.
+    ap_b, thetas, mus = bank_inputs
+    ap_shared = ap_b._replace(W=ap_b.W[0], W_inv=ap_b.W_inv[0],
+                              logdet_W=ap_b.logdet_W[0])
+    full = riccati_bank(ap_b, thetas, mus)
+    shared = riccati_bank(ap_shared, thetas, mus)
+    for name in ("s", "s_vec", "S", "g", "G", "H", "L", "dl"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(shared, name)),
+            np.asarray(getattr(full, name)), rtol=1e-6, atol=1e-7,
+            err_msg=name)
+    slim = riccati_bank(ap_shared, thetas, mus, slim=True)
+    np.testing.assert_array_equal(np.asarray(slim.value),
+                                  np.asarray(shared.s[:, 0]))
+
+
 def test_kernel_neurotic_lane_flags(bank_inputs):
     ap_b, thetas, mus = bank_inputs
     thetas = thetas.at[2].set(1e6)  # lane 2 breaks down
