@@ -143,10 +143,10 @@ def main():
                 problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)), u_,
                 L_warm, unroll=config.scan_unroll)
             ap_ = approximate_model(problem, u, x, A, Bm)
-            dp, fail = dp_evaluate(ap_, L_warm, None, theta=th,
-                                   mu=jnp.zeros((), dtype),
-                                   unroll=config.scan_unroll)
-            return dp.value
+            value, fail = dp_evaluate(ap_, L_warm, None, theta=th,
+                                      mu=jnp.zeros((), dtype),
+                                      unroll=config.scan_unroll, slim=True)
+            return value
         return jax.vmap(one)(x0_b, u_b, thetas, feed)
 
     units = {

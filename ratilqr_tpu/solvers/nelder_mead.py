@@ -25,6 +25,8 @@ from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
 
 Array = jnp.ndarray
 
+_MAX_BOOTSTRAP = 60  # feasibility-bootstrap halvings (~18 orders of θ)
+
 
 class NMState(NamedTuple):
     """Mutable NM solver state (ref :92-99).
@@ -149,24 +151,28 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     cost = _make_cost(problem, config, x0, u_init, kl_bound)
 
     if kl_bound > 0:
+        # Feasibility bootstrap (ref :283-304).  The reference's loop is
+        # unbounded and hangs on a problem that fails at EVERY θ (e.g. NaN
+        # dynamics); bounded here — like the CE redraw loop — with the
+        # failure surfaced as value=Inf from the final solve.
         if state.c_high is None:
-            while True:
+            for _ in range(_MAX_BOOTSTRAP):
                 c = cost(state.theta_high)
                 if math.isfinite(c):
-                    state = state._replace(c_high=c)
                     break
                 state = state._replace(
                     theta_high=state.theta_high * config.lam,
                     theta_high_init=state.theta_high_init * config.lam)
+            state = state._replace(c_high=c)
         if state.c_low is None:
-            while True:
+            for _ in range(_MAX_BOOTSTRAP):
                 c = cost(state.theta_low)
                 if math.isfinite(c):
-                    state = state._replace(c_low=c)
                     break
                 state = state._replace(
                     theta_low=state.theta_low * config.lam,
                     theta_low_init=state.theta_low_init * config.lam)
+            state = state._replace(c_low=c)
 
         while True:
             state = step(config, state, cost, verbose)

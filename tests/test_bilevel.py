@@ -114,3 +114,110 @@ def test_feasibility_rescaling_shrinks_inits():
                         kl_bound=KL_BOUND)
     assert np.isfinite(float(res.value))
     assert float(res.state.mu_init) < 500.0
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted Nelder-Mead (solvers/nelder_mead_jit.py): decision-for-
+# decision parity with the host-orchestrated path, which itself is pinned
+# to the reference step-by-step (nm….jl:174-252, :276-352).
+
+def _nm_state_allclose(sj, sh):
+    np.testing.assert_allclose(float(sj.theta_high_init),
+                               float(sh.theta_high_init), rtol=1e-12)
+    np.testing.assert_allclose(float(sj.theta_low_init),
+                               float(sh.theta_low_init), rtol=1e-12)
+    np.testing.assert_allclose(float(sj.theta_high), float(sh.theta_high),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(sj.theta_low), float(sh.theta_low),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(sj.c_high), float(sh.c_high), rtol=1e-9)
+    np.testing.assert_allclose(float(sj.c_low), float(sh.c_low), rtol=1e-9)
+    assert int(sj.iter_current) == int(sh.iter_current)
+
+
+def test_nelder_mead_jit_matches_host():
+    from ratilqr_tpu.solvers import nelder_mead_jit
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+    for kl in (KL_BOUND, 0.37):
+        rh = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                               x0, u0, kl_bound=kl)
+        rj = nelder_mead_jit.solve(prob, config,
+                                   nelder_mead.init_state(config),
+                                   x0, u0, kl_bound=kl)
+        np.testing.assert_allclose(float(rj.theta_opt), float(rh.theta_opt),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(float(rj.value), float(rh.value),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(rj.l), np.asarray(rh.l),
+                                   atol=1e-10)
+        _nm_state_allclose(rj.state, rh.state)
+
+
+def test_nelder_mead_jit_kl_zero_preserves_missing_c():
+    # kl_bound == 0 on a fresh state must NOT leave stale c values behind:
+    # the next kl>0 solve still runs the feasibility bootstrap (the host
+    # path's None-preserving behavior).
+    from ratilqr_tpu.solvers import nelder_mead_jit
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+    r0 = nelder_mead_jit.solve(prob, config, nelder_mead.init_state(config),
+                               x0, u0, kl_bound=0.0)
+    assert float(r0.theta_opt) == 0.0
+    assert bool(jnp.isnan(r0.state.c_high))
+    # Chained through the kl=0 state, parity with a host chain holds.
+    rj = nelder_mead_jit.solve(prob, config, r0.state, x0, u0,
+                               kl_bound=KL_BOUND)
+    h0 = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                           x0, u0, kl_bound=0.0)
+    rh = nelder_mead.solve(prob, config, h0.state, x0, u0,
+                           kl_bound=KL_BOUND)
+    np.testing.assert_allclose(float(rj.theta_opt), float(rh.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rj.value), float(rh.value), rtol=1e-9)
+
+
+def test_nelder_mead_jit_warm_start_parity():
+    # Second solve carries c_high/c_low verbatim (the reference's
+    # `isnothing` cross-solve quirk, nm….jl:283,294) — both paths must
+    # follow the identical decision sequence from the carried state.
+    from ratilqr_tpu.solvers import nelder_mead_jit
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+    rh1 = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                            x0, u0, kl_bound=KL_BOUND)
+    rj1 = nelder_mead_jit.solve(prob, config,
+                                nelder_mead.init_state(config),
+                                x0, u0, kl_bound=KL_BOUND)
+    x1 = x0 + 0.3
+    rh2 = nelder_mead.solve(prob, config, rh1.state, x1, u0,
+                            kl_bound=KL_BOUND)
+    rj2 = nelder_mead_jit.solve(prob, config, rj1.state, x1, u0,
+                                kl_bound=KL_BOUND)
+    np.testing.assert_allclose(float(rj2.theta_opt), float(rh2.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rj2.value), float(rh2.value), rtol=1e-9)
+    _nm_state_allclose(rj2.state, rh2.state)
+
+
+def test_nelder_mead_jit_fleet_vmap():
+    # The point of the jitted path: a vmapped fleet of full NM solves in
+    # one dispatch, each lane matching its own host solve.
+    from ratilqr_tpu.solvers import nelder_mead_jit
+    prob, _, u0 = _fixture()
+    config = NelderMeadConfig()
+    # Nonnegative states only: the fixture's x^1.3 dynamics NaN out for
+    # negative entries (the reference's Julia fixture throws DomainError).
+    x_fleet = jnp.stack([jnp.zeros(2), jnp.array([0.4, 0.2]),
+                         jnp.array([0.05, 0.3])]).astype(jnp.float64)
+    state = nelder_mead.init_state(config)
+    fleet = jax.vmap(
+        lambda x: nelder_mead_jit.solve(prob, config, state, x, u0,
+                                        kl_bound=KL_BOUND))(x_fleet)
+    for i in range(x_fleet.shape[0]):
+        rh = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                               x_fleet[i], u0, kl_bound=KL_BOUND)
+        np.testing.assert_allclose(float(fleet.theta_opt[i]),
+                                   float(rh.theta_opt), rtol=1e-9)
+        np.testing.assert_allclose(float(fleet.value[i]), float(rh.value),
+                                   rtol=1e-9)

@@ -1,0 +1,94 @@
+"""Execute the documentation's code blocks (the reference runs its docs as
+doctests: ``/root/reference/docs/make.jl:16`` sets ``doctest=true``).
+
+``docs/getting-started.md`` is the executable guide: every ```python block
+is written to run verbatim, in order, in one shared namespace — this test
+enforces that.  The other docs' blocks are call-signature sketches (not
+self-contained programs) and are exempt, but every backtick-quoted
+``ratilqr_tpu`` symbol they mention must resolve, which
+``test_docs_symbols_resolve`` checks.
+"""
+import re
+from pathlib import Path
+
+import pytest
+
+DOCS = Path(__file__).resolve().parent.parent / "docs"
+
+_BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
+
+
+def extract_blocks(md_path):
+    return _BLOCK_RE.findall(md_path.read_text())
+
+
+def test_getting_started_blocks_execute():
+    blocks = extract_blocks(DOCS / "getting-started.md")
+    assert len(blocks) >= 6, "getting-started.md lost its code blocks"
+    ns = {}
+    for i, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"getting-started.md[block {i}]", "exec"), ns)
+        except Exception as e:  # pragma: no cover - failure reporting
+            pytest.fail(f"getting-started.md block {i} failed: {e}\n{block}")
+
+    # The guide's objects came out usable.
+    import jax.numpy as jnp
+    res = ns["res"]
+    assert jnp.isfinite(res.value), "iLEQG example diverged"
+    out = ns["out"]
+    assert jnp.isfinite(out.value), "RAT iLQR example diverged"
+    assert float(out.theta_opt) > 0.0
+    steps = ns["steps"]
+    assert len(steps) == 5
+    assert all(jnp.isfinite(s.value) for s in steps)
+    assert callable(ns["cost_fn"])
+
+
+def _public_symbols():
+    import ratilqr_tpu
+    import ratilqr_tpu.mpc
+    import ratilqr_tpu.parallel
+    import ratilqr_tpu.problems
+    import ratilqr_tpu.solvers.nelder_mead
+    import ratilqr_tpu.solvers.pets
+    import ratilqr_tpu.solvers.ratilqr
+
+    syms = set()
+    for mod in (ratilqr_tpu, ratilqr_tpu.problems, ratilqr_tpu.mpc,
+                ratilqr_tpu.parallel, ratilqr_tpu.solvers.ratilqr,
+                ratilqr_tpu.solvers.nelder_mead, ratilqr_tpu.solvers.pets):
+        syms.update(n for n in dir(mod) if not n.startswith("_"))
+    return syms
+
+
+def test_docs_symbols_resolve():
+    """Every `CamelCase`/`snake_case` ratilqr_tpu identifier quoted in the
+    docs must exist somewhere in the public modules (stale-docs guard)."""
+    syms = _public_symbols()
+    ident = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)`")
+    # Vocabulary that looks like identifiers but isn't ours.
+    allowed_missing = {
+        "jax", "jnp", "vmap", "pjit", "jit", "lax", "scan", "while_loop",
+        "top_k", "shard_map", "psum", "all_gather", "value", "failed",
+        "theta", "mu", "sigma", "kl_bound", "x", "u", "k", "f", "c", "h",
+        "W", "N", "n", "m", "T", "B", "A", "L", "l", "dl", "key", "Inf",
+    }
+    missing = {}
+    for md in DOCS.glob("*.md"):
+        if md.name in ("references.md", "api-parity.md"):
+            continue  # bibliography / the mapping table itself
+        for name in ident.findall(md.read_text()):
+            if ("_" in name and not name.islower()) or name[0].isupper():
+                # Class-like or Config-like names are the meaningful ones;
+                # plain lowercase words hit English too often.
+                if name not in syms and name not in allowed_missing:
+                    missing.setdefault(md.name, set()).add(name)
+    # Filter: only flag names that *look like ours*.
+    missing = {
+        f: {n for n in names
+            if any(t in n for t in ("Config", "Solver", "Result", "State",
+                                    "Problem", "Driver"))}
+        for f, names in missing.items()}
+    missing = {f: ns for f, ns in missing.items() if ns}
+    assert not missing, f"docs reference unknown public symbols: {missing}"

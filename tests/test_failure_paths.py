@@ -113,3 +113,45 @@ def test_jit_ce_redraw_budget_sets_flag():
                            0.1 * jnp.ones((6, 2), jnp.float64),
                            jax.random.key(1), 1.0)
     assert not bool(ok.redraws_exhausted)
+
+
+def _nan_everywhere_problem(N=6):
+    # Dynamics NaN at every state -> the iLEQG solve fails for EVERY theta,
+    # including theta=0: no amount of theta-shrinking reaches feasibility.
+    return RiskSensitiveProblem(
+        f=lambda x, u: jnp.sqrt(x - 100.0) + u,   # sqrt of negative: NaN
+        c=lambda k, x, u: x @ x + u @ u,
+        h=lambda x: x @ x,
+        W=lambda k: 0.1 * jnp.eye(2, dtype=jnp.float64),
+        N=N)
+
+
+def test_host_nm_bootstrap_budget_terminates():
+    # The reference's feasibility bootstrap (nm….jl:283-304) would halve
+    # theta forever on a problem infeasible at EVERY theta; the host path
+    # bounds it and surfaces the failure as value=Inf.
+    from ratilqr_tpu import NelderMeadConfig
+    from ratilqr_tpu.solvers import nelder_mead
+
+    prob = _nan_everywhere_problem()
+    x0 = jnp.zeros(2, jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    config = NelderMeadConfig()
+    res = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                            x0, u0, kl_bound=1.0)
+    assert not np.isfinite(float(res.value))
+
+
+def test_jit_nm_bootstrap_budget_terminates():
+    # Same bound in the fully-jitted state machine (bounded while_loop).
+    from ratilqr_tpu import NelderMeadConfig
+    from ratilqr_tpu.solvers import nelder_mead, nelder_mead_jit
+
+    prob = _nan_everywhere_problem()
+    x0 = jnp.zeros(2, jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    config = NelderMeadConfig()
+    res = nelder_mead_jit.solve(prob, config,
+                                nelder_mead.init_state(config),
+                                x0, u0, kl_bound=1.0)
+    assert not np.isfinite(float(res.value))
