@@ -11,21 +11,28 @@ compiles the entire ``solve!`` — feasibility bootstrap, the NM
 reflect/expand/contract/shrink iteration, convergence test, final re-solve
 — into a single jitted function: one dispatch per MPC re-plan.
 
-Design: a **batched state machine**, not a nest of ``lax.cond`` branches.
-Nelder-Mead is a sequence of scalar cost queries ``θ → c(θ)`` where each
-query's θ depends on all previous answers.  The solve is therefore one
-``lax.while_loop`` whose body (a) evaluates the cost at the current query
-θ — the ONLY inlined iLEQG instance in the loop — and (b) runs a small
-branchless transition table (phases BOOT_HI → BOOT_LO → REFLECT →
-EXPAND/CONTRACT → SHRINK) that reproduces the reference's decision
-sequence exactly (ref :283-304 bootstrap, :174-252 ``step!``,
-:306-323 convergence).  Compared to inlining one iLEQG program per branch
-this compiles ~3× faster, evaluates exactly as many iLEQG solves as the
-host path, and — because every lane carries its own phase — ``jax.vmap``
-turns it into a *fleet* of independent NM searches in one dispatch.
+Design: **speculative batched evaluation**.  Nelder-Mead looks inherently
+sequential — each vertex evaluation depends on the previous answer — but
+one NM iteration (``step!``, ref :174-252) can only ever evaluate θ's from
+a 6-candidate tree that is computable *up front* from the sorted simplex:
+
+  reflect θ_r; expand θ_e(θ_r); contract θ_c with θ_high ∈ {old, θ_r};
+  shrink θ_s = (θ_high+θ_low)/2 with the same two θ_high hypotheses.
+
+A vmapped iLEQG bank evaluates all six in ONE pass per iteration — on TPU
+a 6-lane bank costs the same wall-clock as one lane (the solve is
+latency-bound, not FLOP-bound) — and the transition logic then replays the
+reference's decisions over the precomputed answers.  Likewise the
+feasibility bootstrap (halve θ until the objective is finite, ref
+:283-304) evaluates BOTH vertices' entire 60-step λ-ladders as one
+120-lane bank and picks each first finite entry, collapsing up to 120
+sequential evaluations into one.  The reference's decision sequence is
+reproduced exactly; only the schedule changes.
 
 Decision-for-decision parity with the host path is pinned by
-``tests/test_bilevel.py`` (θ_opt/value/state to 1e-9 in f64).
+``tests/test_bilevel.py`` (θ_opt/value/state to 1e-9 in f64), and
+``jax.vmap`` of this solve gives a *fleet* of independent NM searches in
+one dispatch.
 """
 from __future__ import annotations
 
@@ -38,19 +45,10 @@ from jax import lax
 from ratilqr_tpu.config import NelderMeadConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
-from ratilqr_tpu.solvers.nelder_mead import NMResult, NMState
+from ratilqr_tpu.solvers.nelder_mead import (NMResult, NMState,
+                                             _MAX_BOOTSTRAP)
 
 Array = jnp.ndarray
-
-_MAX_BOOTSTRAP = 60  # halvings: spans ~18 orders of magnitude of θ
-
-# Automaton phases (the θ just evaluated was ...)
-_BOOT_HI = 0   # ... θ_high during the feasibility bootstrap (ref :283-293)
-_BOOT_LO = 1   # ... θ_low during the feasibility bootstrap (ref :294-304)
-_REFLECT = 2   # ... θ_r (ref :195-197)
-_EXPAND = 3    # ... θ_e (ref :202-222)
-_CONTRACT = 4  # ... θ_c (ref :232-243)
-_SHRINK = 5    # ... (θ_high+θ_low)/2 after a failed contraction (ref :238-243)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -63,149 +61,100 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in) = state_arr
 
-    def cost(theta):
-        """Outer objective with failure→Inf masking
-        (``compute_cost_worker``, ref :134-158)."""
-        res = ileqg_solve(problem, config.ileqg, x0, u_init, theta)
-        return res.value + kl_bound / theta
+    def bank_cost(thetas):
+        """Outer objective ``ileqg_value(θ) + kl_bound/θ`` over a θ-bank,
+        failure→Inf masked (``compute_cost_worker``, ref :134-158)."""
+        res = jax.vmap(lambda th: ileqg_solve(problem, config.ileqg, x0,
+                                              u_init, th))(thetas)
+        return res.value + kl_bound / thetas
 
-    # Carry layout: phase + simplex + persistent inits + the current query,
-    # plus per-iteration temporaries (θ_m, θ_r, c_r survive across phases
-    # of one NM step).
-    def start_iteration(th_hi, th_lo, c_hi, c_lo, lo_init, it):
-        """Sort the simplex and emit the reflection query (ref :184-197)."""
+    def bootstrap():
+        """Both vertices' full λ-ladders in one bank; first finite wins —
+        outcome identical to the reference's sequential halving loop
+        (ref :283-304), bounded at ``_MAX_BOOTSTRAP`` halvings."""
+        ks = lam ** jnp.arange(_MAX_BOOTSTRAP, dtype=dtype)
+        ladder_hi = th_hi_init0 * ks
+        ladder_lo = th_lo_init0 * ks
+        costs = bank_cost(jnp.concatenate([ladder_hi, ladder_lo]))
+        c_h, c_l = costs[:_MAX_BOOTSTRAP], costs[_MAX_BOOTSTRAP:]
+
+        def first_finite(ladder, cs, init0):
+            ok = jnp.isfinite(cs)
+            k = jnp.argmax(ok)  # first True; 0 if none (cost stays Inf)
+            return ladder[k], cs[k], init0 * lam ** k.astype(dtype)
+
+        th_hi, c_hi, hi_init = first_finite(ladder_hi, c_h, th_hi_init0)
+        th_lo, c_lo, lo_init = first_finite(ladder_lo, c_l, th_lo_init0)
+        return th_hi, th_lo, c_hi, c_lo, hi_init, lo_init
+
+    def nm_step(carry):
+        """One ``step!`` (ref :174-252) as one speculative 6-lane bank:
+        sort, then evaluate every θ the reference could possibly query
+        this iteration, then replay its decision sequence."""
+        th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done = carry
+        it = it + 1
+
         swap = c_hi < c_lo
         th_lo, th_hi = (jnp.where(swap, th_hi, th_lo),
                         jnp.where(swap, th_lo, th_hi))
         c_lo, c_hi = (jnp.where(swap, c_hi, c_lo),
                       jnp.where(swap, c_lo, c_hi))
+
         theta_m = th_lo
-        theta_r = jnp.maximum(lo_init,
-                              theta_m + config.alpha * (theta_m - th_hi))
-        return (th_hi, th_lo, c_hi, c_lo, theta_m, theta_r, it + 1)
+        clamp = lambda th: jnp.maximum(lo_init, th)
+        th_r = clamp(theta_m + config.alpha * (theta_m - th_hi))
+        th_e = clamp(theta_m + config.beta * (th_r - theta_m))
+        th_c0 = clamp(theta_m + config.gamma * (th_hi - theta_m))  # ¬keep_r
+        th_c1 = clamp(theta_m + config.gamma * (th_r - theta_m))   # keep_r
+        th_s0 = (th_hi + th_lo) / 2.0                              # ¬keep_r
+        th_s1 = (th_r + th_lo) / 2.0                               # keep_r
+        cs = bank_cost(jnp.stack([th_r, th_e, th_c0, th_c1, th_s0, th_s1]))
+        c_r, c_e, c_c0, c_c1, c_s0, c_s1 = (cs[0], cs[1], cs[2], cs[3],
+                                            cs[4], cs[5])
 
-    def body(carry):
-        (phase, query, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
-         theta_m, theta_r, c_r, it, done, evals) = carry
-        c = cost(query)                      # the single iLEQG instance
-        finite = jnp.isfinite(c)
+        # Replay the reference's decisions (ref :195-244).
+        expand = c_r < c_lo
+        e_better = c_e < c_r
+        th_exp = jnp.where(e_better, th_e, th_r)
+        c_exp = jnp.where(e_better, c_e, c_r)
 
-        # --- bootstrap transitions (ref :283-304) ------------------------
-        # On failure both θ and its persistent init shrink by λ; on success
-        # the answer becomes the vertex cost and the automaton advances.
-        in_bhi = phase == _BOOT_HI
-        in_blo = phase == _BOOT_LO
-        shrink_b = (in_bhi | in_blo) & ~finite
-        th_hi = jnp.where(in_bhi & ~finite, th_hi * lam, th_hi)
-        hi_init = jnp.where(in_bhi & ~finite, hi_init * lam, hi_init)
-        th_lo = jnp.where(in_blo & ~finite, th_lo * lam, th_lo)
-        lo_init = jnp.where(in_blo & ~finite, lo_init * lam, lo_init)
-        c_hi = jnp.where(in_bhi & finite, c, c_hi)
-        c_lo = jnp.where(in_blo & finite, c, c_lo)
+        keep_r = ~expand & (c_r < c_hi)
+        th_hi2 = jnp.where(keep_r, th_r, th_hi)   # simplex before contract
+        c_hi2 = jnp.where(keep_r, c_r, c_hi)
+        th_c = jnp.where(keep_r, th_c1, th_c0)
+        c_c = jnp.where(keep_r, c_c1, c_c0)
+        shrink = c_c > c_hi2
+        th_s = jnp.where(keep_r, th_s1, th_s0)
+        c_s = jnp.where(keep_r, c_s1, c_s0)
+        th_con = jnp.where(shrink, th_s, th_c)
+        c_con = jnp.where(shrink, c_s, c_c)
 
-        # --- step! transitions (ref :174-252) ----------------------------
-        in_r = phase == _REFLECT
-        # reflection beats the best vertex → expansion query (ref :202)
-        to_expand = in_r & (c < c_lo)
-        # otherwise maybe keep the reflection, then contract (ref :227-234)
-        keep_r = in_r & ~to_expand & (c < c_hi)
-        th_hi = jnp.where(keep_r, query, th_hi)
-        c_hi = jnp.where(keep_r, c, c_hi)
+        th_hi = jnp.where(expand, th_exp, th_con)
+        c_hi = jnp.where(expand, c_exp, c_con)
 
-        in_e = phase == _EXPAND
-        # keep the better of expansion/reflection (ref :210-222)
-        e_better = in_e & (c < c_r)
-        th_hi = jnp.where(e_better, query, jnp.where(in_e, theta_r, th_hi))
-        c_hi = jnp.where(e_better, c, jnp.where(in_e, c_r, c_hi))
-
-        in_c = phase == _CONTRACT
-        # failed contraction → shrink query; else keep θ_c (ref :236-244)
-        to_shrink = in_c & (c > c_hi)
-        th_hi = jnp.where(in_c & ~to_shrink, query, th_hi)
-        c_hi = jnp.where(in_c & ~to_shrink, c, c_hi)
-
-        in_s = phase == _SHRINK
-        th_hi = jnp.where(in_s, query, th_hi)
-        c_hi = jnp.where(in_s, c, c_hi)
-
-        # --- where to next ----------------------------------------------
-        c_r = jnp.where(in_r, c, c_r)
-        theta_r_new = theta_r  # set at iteration start below
-        end_iter = in_e | (in_c & ~to_shrink) | in_s
-        boot_hi_done = in_bhi & finite
-        boot_lo_done = in_blo & finite
-
-        # Convergence test after a completed step (ref :306-323).
+        # Convergence (ref :306-323).
         c_mean = (c_lo + c_hi) / 2.0
         stdev = jnp.sqrt(0.5 * ((c_hi - c_mean) ** 2
                                 + (c_lo - c_mean) ** 2))
-        converged = end_iter & ((stdev < config.eps)
-                                | (it >= config.iter_max))
-        start_new = (boot_lo_done | end_iter) & ~converged
-
-        (s_th_hi, s_th_lo, s_c_hi, s_c_lo, s_theta_m, s_theta_r,
-         s_it) = start_iteration(th_hi, th_lo, c_hi, c_lo, lo_init, it)
-        th_hi = jnp.where(start_new, s_th_hi, th_hi)
-        th_lo = jnp.where(start_new, s_th_lo, th_lo)
-        c_hi = jnp.where(start_new, s_c_hi, c_hi)
-        c_lo = jnp.where(start_new, s_c_lo, c_lo)
-        theta_m = jnp.where(start_new, s_theta_m, theta_m)
-        theta_r_new = jnp.where(start_new, s_theta_r, theta_r_new)
-        it = jnp.where(start_new, s_it, it)
-
-        theta_e = jnp.maximum(lo_init,
-                              theta_m + config.beta * (query - theta_m))
-        theta_c = jnp.maximum(lo_init,
-                              theta_m + config.gamma * (th_hi - theta_m))
-        theta_s = (th_hi + th_lo) / 2.0
-
-        next_phase = jnp.where(
-            shrink_b, phase,
-            jnp.where(boot_hi_done, i32(_BOOT_LO),
-            jnp.where(start_new, i32(_REFLECT),
-            jnp.where(to_expand, i32(_EXPAND),
-            jnp.where(in_r & ~to_expand, i32(_CONTRACT),
-            jnp.where(to_shrink, i32(_SHRINK), phase))))))
-        next_query = jnp.where(
-            shrink_b & in_bhi, th_hi,
-            jnp.where(shrink_b & in_blo, th_lo,
-            jnp.where(boot_hi_done, th_lo,
-            jnp.where(start_new, theta_r_new,
-            jnp.where(to_expand, theta_e,
-            jnp.where(in_r & ~to_expand, theta_c,
-            jnp.where(to_shrink, theta_s, query)))))))
-        done = done | converged
-        return (next_phase, next_query, th_hi, th_lo, c_hi, c_lo,
-                hi_init, lo_init, theta_m, theta_r_new, c_r, it, done,
-                evals + 1)
-
-    max_evals = 2 * _MAX_BOOTSTRAP + 3 * (config.iter_max + 1)
-
-    def keep_going(carry):
-        done, evals = carry[-2], carry[-1]
-        return ~done & (evals < max_evals)
+        done = (stdev < config.eps) | (it >= config.iter_max)
+        return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done)
 
     def run_nm(_):
         # initialize! (ref :164-168): θ reset from the persistent inits;
         # carried c values (if any) persist verbatim — the reference's
         # ``isnothing`` cross-solve quirk (ref :283,294).
-        zero = jnp.zeros((), dtype)
         if have_c:
-            # Bootstraps skipped: enter the first NM step directly.
-            (th_hi, th_lo, c_hi, c_lo, theta_m, theta_r,
-             it) = start_iteration(th_hi_init0, th_lo_init0, c_hi_in,
-                                   c_lo_in, th_lo_init0, i32(0))
-            carry = (i32(_REFLECT), theta_r, th_hi, th_lo, c_hi, c_lo,
-                     th_hi_init0, th_lo_init0, theta_m, theta_r, zero, it,
-                     jnp.zeros((), bool), i32(0))
+            th_hi, th_lo = th_hi_init0, th_lo_init0
+            c_hi, c_lo = c_hi_in, c_lo_in
+            hi_init, lo_init = th_hi_init0, th_lo_init0
         else:
-            inf = jnp.asarray(jnp.inf, dtype)
-            carry = (i32(_BOOT_HI), th_hi_init0, th_hi_init0, th_lo_init0,
-                     inf, inf, th_hi_init0, th_lo_init0, zero, zero, zero,
-                     i32(0), jnp.zeros((), bool), i32(0))
-        (_, _, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, _, _, _, it,
-         _, _) = lax.while_loop(keep_going, body, carry)
-        return th_lo, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it
+            th_hi, th_lo, c_hi, c_lo, hi_init, lo_init = bootstrap()
+        carry = (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, i32(0),
+                 jnp.zeros((), bool))
+        carry = lax.while_loop(lambda c: ~c[-1], nm_step, carry)
+        th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, _ = carry
+        theta_opt = th_lo
+        return theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it
 
     def skip_nm(_):
         # kl_bound == 0 → pure iLQG; NM state untouched beyond the reset.
