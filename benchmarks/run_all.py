@@ -106,6 +106,42 @@ def bench_ratilqr_mpc(T=30, steps=10):
     return out
 
 
+def bench_nm_mpc(T=30, steps=10):
+    """RAT iLQR++ re-plan latency: host-orchestrated vs fully-jitted
+    (speculative-bank) Nelder-Mead, same warm-started MPC loop as
+    ``bench_ratilqr_mpc``."""
+    from ratilqr_tpu import ILEQGConfig, NelderMeadConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.mpc import MPCDriver
+    from ratilqr_tpu.solvers import nelder_mead, nelder_mead_jit
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    config = NelderMeadConfig(theta_high_init=0.02, theta_low_init=1e-8,
+                              ileqg=ILEQGConfig(iter_max=30, scan_unroll=10))
+    out = {}
+    for tag, solve_fn in (("nm", nelder_mead.solve),
+                          ("nm_jit", nelder_mead_jit.solve)):
+        class Plan:
+            def __init__(self, fn):
+                self.fn = fn
+                self.state = nelder_mead.init_state(config)
+
+            def __call__(self, x, u, key):
+                res = self.fn(problem, config, self.state, x, u,
+                              kl_bound=0.05)
+                self.state = res.state
+                return res
+
+        driver = MPCDriver(problem=problem, plan=Plan(solve_fn))
+        recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                          jax.random.key(0), num_steps=steps)
+        lat = sorted(r.plan_time_s for r in recs[2:])  # drop both compiles
+        out[f"{tag}_mpc_step_p50_ms"] = 1e3 * lat[len(lat) // 2]
+        out[f"{tag}_mpc_step_best_ms"] = 1e3 * lat[0]
+    return out
+
+
 def bench_pets(T=50, K=256, M=16, prefix="pets"):
     from ratilqr_tpu import PETSConfig
     from ratilqr_tpu.models import gmm_integrator
@@ -167,7 +203,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument("--skip", default="",
-                        help="comma list: ileqg,mpc,pets,scaling")
+                        help="comma list: ileqg,mpc,nm,pets,scaling")
     args = parser.parse_args()
     skip = set(args.skip.split(","))
 
@@ -185,6 +221,8 @@ def main():
             results.update(bench_ileqg_throughput())
         if "mpc" not in skip:
             results.update(bench_ratilqr_mpc())
+        if "nm" not in skip:
+            results.update(bench_nm_mpc())
         if "pets" not in skip:
             results.update(bench_pets())
             # Reference-scale workload: 16,384 rollouts/generation, the
