@@ -142,6 +142,50 @@ def bench_nm_mpc(T=30, steps=10):
     return out
 
 
+def bench_fleet_episodes(T=30, steps=15, seeds=256):
+    """On-device Monte-Carlo closed-loop evaluation: ``seeds`` full
+    receding-horizon episodes (one iLEQG re-plan per step) as ONE
+    vmapped ``lax.scan`` dispatch (``mpc_episode.make_fleet_runner``),
+    vs the per-re-plan-dispatch host loop (``MPCDriver``)."""
+    from ratilqr_tpu import ILEQGConfig, ileqg_solve
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.mpc import MPCDriver
+    from ratilqr_tpu.mpc_episode import (make_episode_runner,
+                                         make_fleet_runner,
+                                         make_gaussian_simulator,
+                                         make_ileqg_plan)
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    cfg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0)
+    x0 = jnp.zeros(3, dtype)
+    u0 = jnp.zeros((T, 2), dtype)
+    keys = jax.random.split(jax.random.key(0), seeds)
+
+    fleet = make_fleet_runner(make_ileqg_plan(problem, cfg, 0.0),
+                              make_gaussian_simulator(problem), steps,
+                              problem.c)
+    stats = time_fn(lambda ks: fleet(x0, u0, ks, ()).total_cost, keys,
+                    reps=3)
+    out = {"fleet_episodes_per_s": seeds / stats["best"],
+           "fleet_replans_per_s": seeds * steps / stats["best"],
+           "fleet_compile_s": stats["compile"]}
+
+    # Host-loop comparator: one episode, one dispatch per re-plan.
+    driver = MPCDriver(problem=problem,
+                       plan=lambda x, u, k: ileqg_solve(problem, cfg, x, u,
+                                                        jnp.zeros((), dtype)))
+    driver.run(x0, u0, jax.random.key(0), num_steps=2)  # compile
+    t0 = time.perf_counter()
+    driver.run(x0, u0, jax.random.key(1), num_steps=steps)
+    dt = time.perf_counter() - t0
+    out["hostloop_episodes_per_s"] = 1.0 / dt
+    out["fleet_speedup_vs_hostloop"] = (
+        out["fleet_episodes_per_s"] * dt)
+    return out
+
+
 def bench_pets(T=50, K=256, M=16, prefix="pets"):
     from ratilqr_tpu import PETSConfig
     from ratilqr_tpu.models import gmm_integrator
@@ -203,7 +247,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument("--skip", default="",
-                        help="comma list: ileqg,mpc,nm,pets,scaling")
+                        help="comma list: ileqg,mpc,nm,fleet,pets,scaling")
     args = parser.parse_args()
     skip = set(args.skip.split(","))
 
@@ -223,6 +267,8 @@ def main():
             results.update(bench_ratilqr_mpc())
         if "nm" not in skip:
             results.update(bench_nm_mpc())
+        if "fleet" not in skip:
+            results.update(bench_fleet_episodes())
         if "pets" not in skip:
             results.update(bench_pets())
             # Reference-scale workload: 16,384 rollouts/generation, the

@@ -19,5 +19,10 @@ from ratilqr_tpu.ops import (Approximation, DPResult, approximate_model,
                              rollout_open_loop_noisy)
 from ratilqr_tpu.solvers.ileqg import (ILEQGResult, make_batched_solver,
                                        solve as ileqg_solve, solve_value)
+from ratilqr_tpu.mpc_episode import (EpisodeResult, PlanOut,
+                                     make_episode_runner, make_fleet_runner,
+                                     make_gaussian_simulator,
+                                     make_ileqg_plan, make_nm_plan,
+                                     make_pets_plan, make_ratilqr_plan)
 
 __version__ = "0.1.0"
