@@ -132,6 +132,32 @@ def sharded_elite_selection(mesh: Mesh, us: Array, costs: Array,
                      out_specs=P(), check_vma=False)(us, costs)
 
 
+def make_sharded_fleet_runner(mesh: Mesh, plan_step, simulate,
+                              num_steps: int, stage_cost, fallback=None):
+    """Monte-Carlo episode fleet with the seed axis sharded over the mesh.
+
+    Multi-chip version of :func:`ratilqr_tpu.mpc_episode.make_fleet_runner`:
+    each device runs the full closed-loop episodes for its shard of the
+    PRNG-key batch (episodes are embarrassingly parallel — no cross-seed
+    communication, so scaling rides entirely on placement).  Numerics are
+    identical to the unsharded fleet.  Requires ``len(keys) % mesh size
+    == 0``.
+    """
+    from ratilqr_tpu.mpc_episode import make_episode_runner
+
+    run = make_episode_runner(plan_step, simulate, num_steps, stage_cost,
+                              fallback)
+    shard = NamedSharding(mesh, P(SAMPLE_AXIS))
+
+    @jax.jit
+    def fleet(x0, u_init, keys, plan_state):
+        keys = lax.with_sharding_constraint(keys, shard)
+        return jax.vmap(run, in_axes=(None, None, 0, None))(
+            x0, u_init, keys, plan_state)
+
+    return fleet
+
+
 def make_sharded_pets_solve(problem: GenerativeProblem, config: PETSConfig,
                             mesh: Mesh, use_true_model: bool = False,
                             shard_elites: bool = False):

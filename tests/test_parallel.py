@@ -130,3 +130,31 @@ def test_sharded_pets_solve_shard_elites_matches(pets_uniform_problem):
                                np.asarray(out_plain.mu), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(out_opt.sigma),
                                np.asarray(out_plain.sigma), rtol=1e-12)
+
+
+def test_sharded_fleet_matches_unsharded():
+    # Seed-sharded episode fleet ≡ unsharded fleet (placement only).
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.models import lqr_problem
+    from ratilqr_tpu.mpc_episode import (make_fleet_runner,
+                                         make_gaussian_simulator,
+                                         make_ileqg_plan)
+    from ratilqr_tpu.parallel import make_sharded_fleet_runner
+
+    prob = lqr_problem(N=6, noise=1e-3)
+    cfg = ILEQGConfig(iter_max=15)
+    x0 = jnp.array([1.0, -1.0], jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    keys = jax.random.split(jax.random.key(9), 8)
+    args = (make_ileqg_plan(prob, cfg, 0.0),
+            make_gaussian_simulator(prob), 4, prob.c)
+
+    mesh = make_mesh()
+    sharded = make_sharded_fleet_runner(mesh, *args)(x0, u0, keys, ())
+    plain = make_fleet_runner(*args)(x0, u0, keys, ())
+    np.testing.assert_allclose(np.asarray(sharded.xs),
+                               np.asarray(plain.xs), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.total_cost),
+                               np.asarray(plain.total_cost), rtol=1e-12)
+    # The sharded output really is distributed over the mesh.
+    assert len(sharded.total_cost.sharding.device_set) == 8
