@@ -25,6 +25,11 @@ needed a risk-neutral fallback.  Typical outcome on this toy:
     discusses.
 
 Usage: PYTHONPATH=. python examples/model_mismatch.py [--cpu] [--seeds 8]
+
+``--fleet`` runs the same study on-device: each controller's whole
+closed-loop episode bank (seeds × re-plans) is ONE vmapped ``lax.scan``
+dispatch (``ratilqr_tpu.mpc_episode``), instead of seeds × episode-steps
+host-loop dispatches — the way to run this study at hundreds of seeds.
 """
 import argparse
 import sys
@@ -50,6 +55,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--episode", type=int, default=15)
     ap.add_argument("--kl-bound", type=float, default=1.0)
+    ap.add_argument("--fleet", action="store_true",
+                    help="run all seeds on-device (one dispatch per "
+                         "controller) via mpc_episode")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -80,6 +88,61 @@ def main():
 
     ileqg_cfg = ILEQGConfig(iter_max=20)
     stage_cost = lambda x, u: float(c(0, x, u))  # realized cost uses the same stage cost
+
+    if args.fleet:
+        # On-device study: per controller, ALL seeds' episodes run as one
+        # vmapped scan (ratilqr_tpu.mpc_episode).  Same true-world GMM
+        # simulator, same planners, same fallback-on-breakdown semantics
+        # as the host loops below.
+        from ratilqr_tpu.mpc_episode import (PlanOut, make_fleet_runner,
+                                             make_ileqg_plan,
+                                             make_pets_plan,
+                                             make_ratilqr_plan)
+        from ratilqr_tpu.solvers import ratilqr as ratilqr_mod
+        from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve_fn
+
+        def simulate(k, x, u, key):
+            return gen.f_stochastic(x, u, key, True)  # TRUE world step
+
+        def fallback(x, u_warm, key):
+            res = ileqg_solve_fn(plan_prob, ileqg_cfg, x, u_warm,
+                                 jnp.zeros((), dtype))
+            return PlanOut(x=res.x, l=res.l, L=res.L, value=res.value)
+
+        ce_cfg = CrossEntropyConfig(num_samples=10, ileqg=ileqg_cfg)
+        pets_cfg = PETSConfig(num_control_samples=64,
+                              num_trajectory_samples=16, num_elite=8,
+                              iter_max=5)
+        sig0 = jnp.asarray(np.eye(2)[None].repeat(N, 0), dtype)
+        realized_c = lambda k, x, u: c(k, x, u)
+
+        fleets = {
+            "iLQG": (make_ileqg_plan(plan_prob, ileqg_cfg, 0.0), (), None),
+            "iLEQG (θ=0.01)": (make_ileqg_plan(plan_prob, ileqg_cfg, 0.01),
+                               (), fallback),
+            "RAT iLQR": (make_ratilqr_plan(plan_prob, ce_cfg,
+                                           args.kl_bound),
+                         ratilqr_mod.init_state(ce_cfg, dtype), None),
+            "PETS": (make_pets_plan(gen_plan, pets_cfg, sig0), (), None),
+        }
+        keys = jax.vmap(jax.random.key)(
+            jnp.arange(100, 100 + args.seeds))
+        x0 = jnp.asarray([-2.0, -2.0], dtype)
+        u0 = jnp.zeros((N, 2), dtype)
+
+        print(f"{'controller':<16} {'mean cost':>10} {'stderr':>8} "
+              f"{'θ-fallbacks':>12}")
+        for name, (plan, state0, fb) in fleets.items():
+            run = make_fleet_runner(plan, simulate, args.episode,
+                                    realized_c, fallback=fb)
+            ep = run(x0, u0, keys, state0)
+            costs = np.asarray(ep.total_cost, np.float64)
+            fbs = int(np.asarray(ep.fallbacks).sum()) if fb else 0
+            fb_str = f"{fbs}" if fb else "—"
+            print(f"{name:<16} {costs.mean():>10.2f} "
+                  f"{costs.std() / np.sqrt(len(costs)):>8.2f} "
+                  f"{fb_str:>12}")
+        return
 
     def run_model_based(plan, key, x0):
         x = x0
