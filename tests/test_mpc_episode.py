@@ -215,3 +215,33 @@ def test_nm_episode_runs_and_threads_state():
     assert bool(jnp.isfinite(ep.values).all())
     assert bool(jnp.isfinite(ep.total_cost))
     assert ep.xs.shape == (4, 2)
+
+
+def test_episode_plan_state_checkpoint_roundtrip(tmp_path):
+    """Episode chaining across process restarts: the final ``plan_state``
+    checkpoints and resumes to an identical continuation."""
+    from ratilqr_tpu.solvers import ratilqr
+    from ratilqr_tpu.utils.checkpoint import load_state, save_state
+
+    prob = lqr_problem(N=6, noise=1e-2)
+    cfg = CrossEntropyConfig(num_samples=4, num_elite=2, iter_max=1,
+                             ileqg=ILEQGConfig(iter_max=8))
+    run = make_episode_runner(make_ratilqr_plan(prob, cfg, 0.1),
+                              make_gaussian_simulator(prob), 3,
+                              _stage_cost(prob))
+    x0 = jnp.array([1.0, -1.0], jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    ep1 = run(x0, u0, jax.random.key(0), ratilqr.init_state(cfg,
+                                                            jnp.float64))
+
+    path = str(tmp_path / "ep_state.ckpt")
+    save_state(path, ep1.plan_state)
+    restored = load_state(path, ep1.plan_state)
+
+    k2 = jax.random.key(1)
+    cont_a = run(ep1.xs[-1], shift_warm_start(ep1.us), k2, ep1.plan_state)
+    cont_b = run(ep1.xs[-1], shift_warm_start(ep1.us), k2, restored)
+    np.testing.assert_array_equal(np.asarray(cont_a.xs),
+                                  np.asarray(cont_b.xs))
+    np.testing.assert_array_equal(np.asarray(cont_a.total_cost),
+                                  np.asarray(cont_b.total_cost))
