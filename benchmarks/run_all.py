@@ -186,6 +186,37 @@ def bench_fleet_episodes(T=30, steps=15, seeds=256):
     return out
 
 
+def bench_ratilqr_fleet(T=30, steps=10, seeds=64):
+    """Monte-Carlo closed-loop evaluation of the FLAGSHIP controller:
+    ``seeds`` episodes of fully-jitted RAT iLQR re-planning (5 CE
+    generations × 10 θ-samples + final solve per re-plan) as one vmapped
+    scan — the paper's model-mismatch study shape, on-device."""
+    from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.mpc_episode import (make_fleet_runner,
+                                         make_gaussian_simulator,
+                                         make_ratilqr_plan)
+    from ratilqr_tpu.solvers import ratilqr
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    cfg = CrossEntropyConfig(
+        num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
+        ileqg=ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0))
+    fleet = make_fleet_runner(make_ratilqr_plan(problem, cfg, 0.05),
+                              make_gaussian_simulator(problem), steps,
+                              problem.c)
+    keys = jax.random.split(jax.random.key(0), seeds)
+    state0 = ratilqr.init_state(cfg, dtype)
+    stats = time_fn(
+        lambda ks: fleet(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                         ks, state0).total_cost, keys, reps=3)
+    return {"ratilqr_fleet_episodes_per_s": seeds / stats["best"],
+            "ratilqr_fleet_replans_per_s": seeds * steps / stats["best"],
+            "ratilqr_fleet_compile_s": stats["compile"]}
+
+
 def bench_pets(T=50, K=256, M=16, prefix="pets"):
     from ratilqr_tpu import PETSConfig
     from ratilqr_tpu.models import gmm_integrator
@@ -269,6 +300,7 @@ def main():
             results.update(bench_nm_mpc())
         if "fleet" not in skip:
             results.update(bench_fleet_episodes())
+            results.update(bench_ratilqr_fleet())
         if "pets" not in skip:
             results.update(bench_pets())
             # Reference-scale workload: 16,384 rollouts/generation, the
