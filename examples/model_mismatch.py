@@ -114,15 +114,18 @@ def main():
                               num_trajectory_samples=16, num_elite=8,
                               iter_max=5)
         sig0 = jnp.asarray(np.eye(2)[None].repeat(N, 0), dtype)
-        realized_c = lambda k, x, u: c(k, x, u)
 
+        # Every model-based controller gets the risk-neutral fallback,
+        # exactly like the host loop's run_model_based below (PETS has no
+        # Riccati feasibility failure mode to fall back from).
         fleets = {
-            "iLQG": (make_ileqg_plan(plan_prob, ileqg_cfg, 0.0), (), None),
+            "iLQG": (make_ileqg_plan(plan_prob, ileqg_cfg, 0.0), (),
+                     fallback),
             "iLEQG (θ=0.01)": (make_ileqg_plan(plan_prob, ileqg_cfg, 0.01),
                                (), fallback),
             "RAT iLQR": (make_ratilqr_plan(plan_prob, ce_cfg,
                                            args.kl_bound),
-                         ratilqr_mod.init_state(ce_cfg, dtype), None),
+                         ratilqr_mod.init_state(ce_cfg, dtype), fallback),
             "PETS": (make_pets_plan(gen_plan, pets_cfg, sig0), (), None),
         }
         keys = jax.vmap(jax.random.key)(
@@ -133,12 +136,11 @@ def main():
         print(f"{'controller':<16} {'mean cost':>10} {'stderr':>8} "
               f"{'θ-fallbacks':>12}")
         for name, (plan, state0, fb) in fleets.items():
-            run = make_fleet_runner(plan, simulate, args.episode,
-                                    realized_c, fallback=fb)
+            run = make_fleet_runner(plan, simulate, args.episode, c,
+                                    fallback=fb)
             ep = run(x0, u0, keys, state0)
             costs = np.asarray(ep.total_cost, np.float64)
-            fbs = int(np.asarray(ep.fallbacks).sum()) if fb else 0
-            fb_str = f"{fbs}" if fb else "—"
+            fb_str = f"{int(np.asarray(ep.fallbacks).sum())}" if fb else "—"
             print(f"{name:<16} {costs.mean():>10.2f} "
                   f"{costs.std() / np.sqrt(len(costs)):>8.2f} "
                   f"{fb_str:>12}")

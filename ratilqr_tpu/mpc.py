@@ -49,6 +49,19 @@ def affine_policy_control(x: Array, x_ref: Array, l: Array,
     return l[0] + L[0] @ (x - x_ref[0])
 
 
+def make_gaussian_simulator(problem: RiskSensitiveProblem):
+    """True-world step ``x⁺ = f(x, u) + w, w ~ N(0, W(k))`` — the default
+    simulator for both :class:`MPCDriver` and the episode runners."""
+
+    def simulate(k, x, u, key):
+        W = problem.W(k)
+        w = jnp.linalg.cholesky(W) @ jax.random.normal(key, x.shape,
+                                                       dtype=x.dtype)
+        return problem.f(x, u) + w
+
+    return simulate
+
+
 @dataclasses.dataclass
 class MPCDriver:
     """Closed-loop MPC executor.
@@ -73,10 +86,7 @@ class MPCDriver:
 
     def _default_simulate(self, k: Array, x: Array, u: Array,
                           key: Array) -> Array:
-        W = self.problem.W(k)
-        w = jnp.linalg.cholesky(W) @ jax.random.normal(
-            key, x.shape, dtype=x.dtype)
-        return self.problem.f(x, u) + w
+        return make_gaussian_simulator(self.problem)(k, x, u, key)
 
     def run(self, x0: Array, u_init: Array, key: Array,
             num_steps: int) -> List[MPCStep]:

@@ -37,7 +37,8 @@ from jax import lax
 
 from ratilqr_tpu.config import (CrossEntropyConfig, ILEQGConfig,
                                 NelderMeadConfig, PETSConfig)
-from ratilqr_tpu.mpc import shift_warm_start
+from ratilqr_tpu.mpc import (affine_policy_control, make_gaussian_simulator,
+                             shift_warm_start)
 from ratilqr_tpu.problems import GenerativeProblem, RiskSensitiveProblem
 
 Array = jnp.ndarray
@@ -122,33 +123,26 @@ def make_pets_plan(problem: GenerativeProblem, config: PETSConfig,
     control schedule ``u_warm`` seeds the CEM mean; each re-plan resets Σ
     to ``sigma_init`` (the reference's per-solve ``initialize!``,
     ``pets.jl:70-74``) and runs the full CEM.  PETS returns an open-loop
-    policy — zero feedback gains."""
+    policy — zero feedback gains.  ``value`` is the Monte-Carlo mean cost
+    of the returned plan (``num_trajectory_samples`` rollouts, evaluated
+    with a key folded off the plan key so the CEM draw stream is
+    unchanged), making the episode runner's fallback-on-nonfinite and
+    ``values`` diagnostics live for PETS too."""
     from ratilqr_tpu.solvers import pets as pets_mod
 
     def plan_step(state, x, u_warm, key):
         st = pets_mod.init_state(u_warm, jnp.asarray(sigma_init,
                                                      u_warm.dtype))
         out = pets_mod.solve(problem, config, x, st, key, use_true_model)
+        value = pets_mod.compute_cost(
+            problem, config, x, out.mu[None],
+            jax.random.fold_in(key, 1), use_true_model)[0]
         N, m = out.mu.shape
         zeros_L = jnp.zeros((N, m, x.shape[0]), out.mu.dtype)
         x_ref = jnp.zeros((N + 1, x.shape[0]), out.mu.dtype)
-        value = jnp.zeros((), out.mu.dtype)  # CEM reports no scalar value
         return state, PlanOut(x=x_ref, l=out.mu, L=zeros_L, value=value)
 
     return plan_step
-
-
-def make_gaussian_simulator(problem: RiskSensitiveProblem):
-    """True-world step ``x⁺ = f(x, u) + w, w ~ N(0, W(k))`` — the same
-    default as :class:`~ratilqr_tpu.mpc.MPCDriver`."""
-
-    def simulate(k, x, u, key):
-        W = problem.W(k)
-        w = jnp.linalg.cholesky(W) @ jax.random.normal(key, x.shape,
-                                                       dtype=x.dtype)
-        return problem.f(x, u) + w
-
-    return simulate
 
 
 # ----------------------------------------------------------------------
@@ -193,7 +187,7 @@ def make_episode_runner(
             fb = fallback(x, u_warm, k_plan)
             out = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(bad, b, a), out, fb)
-        u = out.l[0] + out.L[0] @ (x - out.x[0])
+        u = affine_policy_control(x, out.x, out.l, out.L)
         cost = stage_cost(k, x, u)
         x_next = simulate(k, x, u, k_sim)
         u_warm = shift_warm_start(out.l)

@@ -149,11 +149,20 @@ def make_sharded_fleet_runner(mesh: Mesh, plan_step, simulate,
                               fallback)
     shard = NamedSharding(mesh, P(SAMPLE_AXIS))
 
+    n_shards = mesh.shape[SAMPLE_AXIS]
+
     @jax.jit
-    def fleet(x0, u_init, keys, plan_state):
+    def _fleet(x0, u_init, keys, plan_state):
         keys = lax.with_sharding_constraint(keys, shard)
         return jax.vmap(run, in_axes=(None, None, 0, None))(
             x0, u_init, keys, plan_state)
+
+    def fleet(x0, u_init, keys, plan_state):
+        if len(keys) % n_shards != 0:
+            raise ValueError(
+                f"number of episode keys ({len(keys)}) must divide evenly "
+                f"over the {n_shards}-device '{SAMPLE_AXIS}' mesh axis")
+        return _fleet(x0, u_init, keys, plan_state)
 
     return fleet
 
