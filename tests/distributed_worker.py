@@ -85,6 +85,17 @@ def main():
                                   us, jax.random.key(2))
     c_sm_full = fetch(c_sm)
 
+    # 4) Seed-sharded closed-loop episode fleet across the global mesh.
+    from ratilqr_tpu.mpc import make_gaussian_simulator
+    from ratilqr_tpu.mpc_episode import make_ileqg_plan
+    from ratilqr_tpu.parallel import make_sharded_fleet_runner
+    fleet = make_sharded_fleet_runner(
+        mesh, make_ileqg_plan(problem, ILEQGConfig(iter_max=5), 0.0),
+        make_gaussian_simulator(problem), 3, problem.c)
+    keys = jax.random.split(jax.random.key(9), 8)
+    ep = fleet(jnp.zeros(3, dtype), jnp.zeros((N, 2), dtype), keys, ())
+    fleet_costs_full = fetch(ep.total_cost)
+
     if pid == 0:
         with open(out_path, "w") as f:
             json.dump({
@@ -93,6 +104,7 @@ def main():
                 "theta_costs": [float(v) for v in costs_full],
                 "pets_mu": [[float(v) for v in row] for row in mu_full],
                 "shard_map_costs": [float(v) for v in c_sm_full],
+                "fleet_costs": [float(v) for v in fleet_costs_full],
             }, f)
     # All processes must reach shutdown together.
     jax.distributed.shutdown()

@@ -86,7 +86,18 @@ def _single_process_reference():
     us = pets.sample_control_sequences(state, jax.random.key(1), B)
     c_sm = np.asarray(compute_cost_shard_map(
         gen, pets_cfg, mesh, jnp.zeros(2, dtype), us, jax.random.key(2)))
-    return costs, mu, c_sm
+
+    from ratilqr_tpu.mpc import make_gaussian_simulator
+    from ratilqr_tpu.mpc_episode import make_ileqg_plan
+    from ratilqr_tpu.parallel import make_sharded_fleet_runner
+    fleet = make_sharded_fleet_runner(
+        mesh, make_ileqg_plan(problem, ILEQGConfig(iter_max=5), 0.0),
+        make_gaussian_simulator(problem), 3, problem.c)
+    keys = jax.random.split(jax.random.key(9), 8)
+    fleet_costs = np.asarray(fleet(jnp.zeros(3, dtype),
+                                   jnp.zeros((N, 2), dtype), keys,
+                                   ()).total_cost)
+    return costs, mu, c_sm, fleet_costs
 
 
 def test_two_process_global_mesh(multiprocess_results):
@@ -97,9 +108,11 @@ def test_two_process_global_mesh(multiprocess_results):
 
 def test_two_process_matches_single_process(multiprocess_results):
     res = multiprocess_results
-    costs, mu, c_sm = _single_process_reference()
+    costs, mu, c_sm, fleet_costs = _single_process_reference()
     np.testing.assert_allclose(np.asarray(res["theta_costs"]), costs,
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(res["pets_mu"]), mu, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(res["shard_map_costs"]), c_sm,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res["fleet_costs"]), fleet_costs,
                                rtol=1e-12)
