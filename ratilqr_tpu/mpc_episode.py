@@ -102,9 +102,9 @@ def make_nm_plan(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     """RAT iLQR++ plan step via the jitted speculative-bank Nelder-Mead.
 
     Requires an all-array :class:`NMState` (scan carries must be
-    structurally constant): run one ``nelder_mead_jit.solve`` outside the
-    episode — or build the state with concrete ``c_high/c_low`` — and pass
-    its ``.state`` as the episode's initial ``plan_state``.
+    structurally constant): get one from
+    ``nelder_mead_jit.bootstrap_state(problem, config, x0, u0,
+    kl_bound=...)`` and pass it as the episode's initial ``plan_state``.
     """
     from ratilqr_tpu.solvers import nelder_mead_jit
 

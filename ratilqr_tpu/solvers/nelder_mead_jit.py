@@ -46,7 +46,7 @@ from ratilqr_tpu.config import NelderMeadConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
 from ratilqr_tpu.solvers.nelder_mead import (NMResult, NMState,
-                                             _MAX_BOOTSTRAP)
+                                             _MAX_BOOTSTRAP, init_state)
 
 Array = jnp.ndarray
 
@@ -212,3 +212,24 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                  jnp.asarray(state.c_low, dtype) if have_c else zero)
     return _solve_impl(problem, config, have_c, state_arr, x0, u_init,
                        kl_bound)
+
+
+def bootstrap_state(problem: RiskSensitiveProblem, config: NelderMeadConfig,
+                    x0, u_init, *, kl_bound) -> NMState:
+    """All-array :class:`NMState` for scan-carry use (episode banks,
+    ``mpc_episode.make_nm_plan``): runs one full solve from the fresh
+    state — the feasibility bootstrap executes and its carried
+    ``c_high/c_low`` become concrete arrays — and returns the resulting
+    warm-start state.
+
+    ``kl_bound`` must be a concrete positive value: ``kl_bound == 0``
+    degenerates to pure iLQG (ref :386-389), whose returned state keeps
+    the NaN "missing" c encoding — useless as a scan carry (the in-scan
+    solve would treat NaN costs as real and never converge)."""
+    if float(kl_bound) <= 0:
+        raise ValueError(
+            "bootstrap_state requires kl_bound > 0: the kl_bound == 0 "
+            "path skips the feasibility bootstrap, so c_high/c_low stay "
+            "missing and the state is not a valid episode scan carry")
+    return solve(problem, config, init_state(config), x0, u_init,
+                 kl_bound=kl_bound).state

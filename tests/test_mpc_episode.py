@@ -198,20 +198,19 @@ def test_nm_episode_runs_and_threads_state():
     through the scan."""
     from ratilqr_tpu.config import NelderMeadConfig
     from ratilqr_tpu.mpc_episode import make_nm_plan
-    from ratilqr_tpu.solvers import nelder_mead, nelder_mead_jit
+    from ratilqr_tpu.solvers import nelder_mead_jit
 
     prob = lqr_problem(N=6, noise=1e-2)
     cfg = NelderMeadConfig(theta_high_init=0.5, theta_low_init=1e-8,
                            iter_max=10, ileqg=ILEQGConfig(iter_max=10))
     x0 = jnp.array([1.0, -1.0], jnp.float64)
     u0 = jnp.zeros((6, 2), jnp.float64)
-    boot = nelder_mead_jit.solve(prob, cfg, nelder_mead.init_state(cfg),
-                                 x0, u0, kl_bound=jnp.asarray(0.1,
-                                                              jnp.float64))
+    boot = nelder_mead_jit.bootstrap_state(
+        prob, cfg, x0, u0, kl_bound=jnp.asarray(0.1, jnp.float64))
     run = make_episode_runner(make_nm_plan(prob, cfg, 0.1),
                               make_gaussian_simulator(prob), 3,
                               _stage_cost(prob))
-    ep = run(x0, u0, jax.random.key(2), boot.state)
+    ep = run(x0, u0, jax.random.key(2), boot)
     assert bool(jnp.isfinite(ep.values).all())
     assert bool(jnp.isfinite(ep.total_cost))
     assert ep.xs.shape == (4, 2)
