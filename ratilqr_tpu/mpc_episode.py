@@ -46,11 +46,17 @@ Array = jnp.ndarray
 
 class PlanOut(NamedTuple):
     """Normalized planner output — what the episode step needs from any
-    solver: the affine policy ``(x̄, l, L)`` and its objective value."""
+    solver: the affine policy ``(x̄, l, L)`` and its objective value.
+
+    ``aux`` is an arbitrary per-re-plan diagnostic pytree (e.g. the
+    bilevel solvers' ``θ_opt``) stacked into ``EpisodeResult.aux``; it is
+    NOT touched by the fallback selection (the primary's diagnostics are
+    kept even when the fallback's policy is executed)."""
     x: Array       # (N+1, n) nominal trajectory the gains are about
     l: Array       # (N, m)   feedforward controls
     L: Array       # (N, m, n) feedback gains
     value: Array   # ()       planner objective; +Inf = infeasible
+    aux: Any = ()  # per-re-plan diagnostics (θ_opt, ranges, ...)
 
 
 class EpisodeResult(NamedTuple):
@@ -62,6 +68,7 @@ class EpisodeResult(NamedTuple):
     fallbacks: Array   # (steps,)     primary plan was infeasible
     total_cost: Array  # ()           Σ_k stage_cost(k, x_k, u_k)
     plan_state: Any    # final warm-start state (for episode chaining)
+    aux: Any = ()      # stacked per-re-plan PlanOut.aux diagnostics
 
 
 # ----------------------------------------------------------------------
@@ -92,7 +99,8 @@ def make_ratilqr_plan(problem: RiskSensitiveProblem,
         res = ratilqr_jit.solve(problem, config, state, x, u_warm, key,
                                 jnp.asarray(kl_bound, x.dtype))
         return res.state, PlanOut(x=res.x, l=res.l, L=res.L,
-                                  value=res.value)
+                                  value=res.value,
+                                  aux={"theta_opt": res.theta_opt})
 
     return plan_step
 
@@ -112,7 +120,8 @@ def make_nm_plan(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         res = nelder_mead_jit.solve(problem, config, state, x, u_warm,
                                     kl_bound=jnp.asarray(kl_bound, x.dtype))
         return res.state, PlanOut(x=res.x, l=res.l, L=res.L,
-                                  value=res.value)
+                                  value=res.value,
+                                  aux={"theta_opt": res.theta_opt})
 
     return plan_step
 
@@ -185,25 +194,31 @@ def make_episode_runner(
         bad = ~jnp.isfinite(out.value)
         if fallback is not None:
             fb = fallback(x, u_warm, k_plan)
-            out = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(bad, b, a), out, fb)
+            # Select only the policy fields — the primary's aux
+            # diagnostics are kept either way (structures may differ).
+            picked = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(bad, b, a),
+                (out.x, out.l, out.L, out.value),
+                (fb.x, fb.l, fb.L, fb.value))
+            out = out._replace(x=picked[0], l=picked[1], L=picked[2],
+                               value=picked[3])
         u = affine_policy_control(x, out.x, out.l, out.L)
         cost = stage_cost(k, x, u)
         x_next = simulate(k, x, u, k_sim)
         u_warm = shift_warm_start(out.l)
         return ((x_next, u_warm, state, key),
-                (x, u, out.value, bad, cost))
+                (x, u, out.value, bad, cost, out.aux))
 
     def run(x0: Array, u_init: Array, key: Array,
             plan_state: Any) -> EpisodeResult:
         plan_state = jax.tree_util.tree_map(jnp.asarray, plan_state)
         carry = (x0, u_init, plan_state, key)
-        (x_fin, _, state, _), (xs, us, vals, bad, costs) = lax.scan(
+        (x_fin, _, state, _), (xs, us, vals, bad, costs, aux) = lax.scan(
             body, carry, jnp.arange(num_steps))
         return EpisodeResult(
             xs=jnp.concatenate([xs, x_fin[None]], axis=0), us=us,
             values=vals, fallbacks=bad, total_cost=jnp.sum(costs),
-            plan_state=state)
+            plan_state=state, aux=aux)
 
     return jax.jit(run)
 

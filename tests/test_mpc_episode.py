@@ -82,7 +82,7 @@ def test_episode_matches_host_loop_ratilqr_jit():
     # Host loop with the identical key schedule.
     sim = make_gaussian_simulator(prob)
     x, u_warm, st, k = x0, u0, state0, key
-    xs, us, vals = [], [], []
+    xs, us, vals, thetas = [], [], [], []
     for i in range(STEPS):
         k, k_plan, k_sim = jax.random.split(k, 3)
         res = ratilqr_jit.solve(prob, cfg, st, x, u_warm, k_plan,
@@ -90,6 +90,7 @@ def test_episode_matches_host_loop_ratilqr_jit():
         st = res.state
         u = affine_policy_control(x, res.x, res.l, res.L)
         xs.append(x); us.append(u); vals.append(res.value)
+        thetas.append(res.theta_opt)
         x = sim(jnp.asarray(i), x, u, k_sim)
         u_warm = shift_warm_start(res.l)
 
@@ -98,6 +99,9 @@ def test_episode_matches_host_loop_ratilqr_jit():
     np.testing.assert_allclose(np.asarray(ep.us), np.stack(us), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ep.values), np.stack(vals),
                                rtol=1e-12)
+    # Per-step θ_opt diagnostics surface through the aux channel.
+    np.testing.assert_allclose(np.asarray(ep.aux["theta_opt"]),
+                               np.stack(thetas), rtol=1e-12)
     # Final warm-start state matches too.
     for a, b in zip(jax.tree_util.tree_leaves(ep.plan_state),
                     jax.tree_util.tree_leaves(st)):
