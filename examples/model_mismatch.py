@@ -134,16 +134,19 @@ def main():
         u0 = jnp.zeros((N, 2), dtype)
 
         print(f"{'controller':<16} {'mean cost':>10} {'stderr':>8} "
-              f"{'θ-fallbacks':>12}")
+              f"{'θ-fallbacks':>12} {'mean θ_opt':>11}")
         for name, (plan, state0, fb) in fleets.items():
             run = make_fleet_runner(plan, simulate, args.episode, c,
                                     fallback=fb)
             ep = run(x0, u0, keys, state0)
             costs = np.asarray(ep.total_cost, np.float64)
             fb_str = f"{int(np.asarray(ep.fallbacks).sum())}" if fb else "—"
+            th = (f"{float(np.asarray(ep.aux['theta_opt']).mean()):>11.4f}"
+                  if isinstance(ep.aux, dict) and "theta_opt" in ep.aux
+                  else f"{'—':>11}")
             print(f"{name:<16} {costs.mean():>10.2f} "
                   f"{costs.std() / np.sqrt(len(costs)):>8.2f} "
-                  f"{fb_str:>12}")
+                  f"{fb_str:>12} {th}")
         return
 
     def run_model_based(plan, key, x0):
