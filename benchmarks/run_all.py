@@ -240,6 +240,36 @@ def bench_pets(T=50, K=256, M=16, prefix="pets"):
             f"{prefix}_compile_s": stats["compile"]}
 
 
+def bench_models_scaling(batch=2048):
+    """iLEQG bank throughput across the model-size range (state dim 3 →
+    12): pins how the lane-tiled Riccati path scales with (n, m), not
+    just the n=3 unicycle headline."""
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.models import cartpole, quadrotor, unicycle
+    from ratilqr_tpu.solvers.ileqg import make_batched_solver
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    cases = {
+        "unicycle_n3": (unicycle(N=100, dtype=dtype), 3, 2, 0.02),
+        "cartpole_n4": (cartpole(N=50, dtype=dtype), 4, 1, 0.05),
+        "quadrotor_n12": (quadrotor(N=50, dtype=dtype), 12, 4, 0.01),
+    }
+    out = {}
+    for tag, (prob, n, m, th_max) in cases.items():
+        T = prob.N
+        bank = make_batched_solver(prob, ILEQGConfig(
+            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=True))
+        x0 = jnp.zeros(n, dtype)
+        u0 = jnp.zeros((T, m), dtype)
+        thetas = jnp.linspace(0.0, th_max, batch).astype(dtype)
+        u_warm = bank(x0, u0, thetas).l[0]
+        stats = time_fn(lambda th: bank(x0, u_warm, th).value, thetas,
+                        reps=3)
+        out[f"ileqg_warm_{tag}_solves_per_s"] = batch / stats["best"]
+    return out
+
+
 def bench_scaling_cpu():
     """Sharding overhead on the 8-virtual-device CPU mesh.
 
@@ -278,7 +308,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument("--skip", default="",
-                        help="comma list: ileqg,mpc,nm,fleet,pets,scaling")
+                        help="comma list: ileqg,mpc,nm,fleet,modelsizes,pets,scaling")
     args = parser.parse_args()
     skip = set(args.skip.split(","))
 
@@ -301,6 +331,8 @@ def main():
         if "fleet" not in skip:
             results.update(bench_fleet_episodes())
             results.update(bench_ratilqr_fleet())
+        if "modelsizes" not in skip:
+            results.update(bench_models_scaling())
         if "pets" not in skip:
             results.update(bench_pets())
             # Reference-scale workload: 16,384 rollouts/generation, the
