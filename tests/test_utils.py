@@ -90,3 +90,29 @@ def test_checkpoint_structure_mismatch_raises():
         with pytest.raises(ValueError, match="leaf paths"):
             # same leaf COUNT (7) but different field names
             load_state(path, nelder_mead.init_state(nm_cfg))
+
+
+def test_pipelined_map_matches_serial_and_preserves_order():
+    from ratilqr_tpu.utils.serving import pipelined_map
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(x):
+        return x * 2.0 + 1.0
+
+    items = [jnp.asarray(float(i)) for i in range(11)]
+    serial = [float(fn(x)) for x in items]
+    for depth in (1, 3, 8, 16):
+        out = [float(v) for v in pipelined_map(fn, items, depth=depth)]
+        assert out == serial, (depth, out)
+
+    # Custom fetch narrows the transfer.
+    out = list(pipelined_map(fn, items, depth=4,
+                             fetch=lambda r: float(r) - 1.0))
+    assert out == [s - 1.0 for s in serial]
+
+    import pytest
+    with pytest.raises(ValueError):
+        list(pipelined_map(fn, items, depth=0))
