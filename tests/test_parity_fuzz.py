@@ -86,3 +86,42 @@ def test_random_problem_matches_oracle(seed):
     assert len(hist) == len(hist_o)
     np.testing.assert_allclose(hist, np.asarray(hist_o), rtol=1e-6,
                                atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_nm_jit_matches_host_on_random_problems(seed):
+    """RAT iLQR++ decision parity under fuzz: the speculative-bank jitted
+    Nelder-Mead must reproduce the host-orchestrated solver's decisions
+    (θ_opt, value, controls, warm-start state) on random problems — both
+    paths are deterministic given the problem, so parity is exact up to
+    float associativity."""
+    from ratilqr_tpu.config import NelderMeadConfig
+    from ratilqr_tpu.solvers import nelder_mead, nelder_mead_jit
+
+    rng = np.random.default_rng(77 + seed)
+    prob, x0, u0 = _random_problem(rng)
+    kl = [0.05, 0.5, 3.0][seed % 3]
+    cfg = NelderMeadConfig(iter_max=15, ileqg=ILEQGConfig(iter_max=10))
+
+    rh = nelder_mead.solve(prob, cfg, nelder_mead.init_state(cfg),
+                           jnp.asarray(x0), jnp.asarray(u0), kl_bound=kl)
+    rj = nelder_mead_jit.solve(prob, cfg, nelder_mead.init_state(cfg),
+                               jnp.asarray(x0), jnp.asarray(u0),
+                               kl_bound=kl)
+    np.testing.assert_allclose(float(rj.theta_opt), float(rh.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rj.value), float(rh.value),
+                               rtol=1e-9, equal_nan=True)
+    if math.isfinite(float(rh.value)):
+        np.testing.assert_allclose(np.asarray(rj.l), np.asarray(rh.l),
+                                   atol=1e-9)
+    # Warm-start chain: a second solve from each path's returned state
+    # must also agree (the reference's cross-solve c_high/c_low carry).
+    rh2 = nelder_mead.solve(prob, cfg, rh.state, jnp.asarray(x0),
+                            jnp.asarray(u0), kl_bound=kl)
+    rj2 = nelder_mead_jit.solve(prob, cfg, rj.state, jnp.asarray(x0),
+                                jnp.asarray(u0), kl_bound=kl)
+    np.testing.assert_allclose(float(rj2.theta_opt), float(rh2.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rj2.value), float(rh2.value),
+                               rtol=1e-9, equal_nan=True)
