@@ -158,3 +158,21 @@ def test_sharded_fleet_matches_unsharded():
                                np.asarray(plain.total_cost), rtol=1e-12)
     # The sharded output really is distributed over the mesh.
     assert len(sharded.total_cost.sharding.device_set) == 8
+
+
+def test_sharded_fleet_rejects_indivisible_keys():
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.models import lqr_problem
+    from ratilqr_tpu.mpc_episode import (make_gaussian_simulator,
+                                         make_ileqg_plan)
+    from ratilqr_tpu.parallel import make_sharded_fleet_runner
+
+    import pytest
+    prob = lqr_problem(N=4, noise=1e-3)
+    fleet = make_sharded_fleet_runner(
+        make_mesh(), make_ileqg_plan(prob, ILEQGConfig(iter_max=3), 0.0),
+        make_gaussian_simulator(prob), 2, prob.c)
+    keys = jax.random.split(jax.random.key(0), 6)  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="divide evenly"):
+        fleet(jnp.zeros(2, jnp.float64), jnp.zeros((4, 2), jnp.float64),
+              keys, ())
