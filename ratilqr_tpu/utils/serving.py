@@ -30,6 +30,73 @@ def _default_fetch(out: Any) -> Any:
     return jax.device_get(out)
 
 
+class ILEQGBankServer:
+    """Dynamic request batching for iLEQG solves.
+
+    A production serve loop receives heterogeneous requests ``(x0, u_init,
+    θ)`` — different fleets, different warm starts — while the device wants
+    one fixed-shape bank per dispatch (recompiles are 10s–100s through the
+    tunnel).  This server pads any request batch up to a fixed
+    ``bank_size``, dispatches ONE jitted bank vmapped over all three
+    request fields, and slices the padding away; batches larger than the
+    bank are chunked and streamed through :func:`pipelined_map` so `depth`
+    banks stay in flight.
+
+    Padding lanes solve the trivial ``(x0=0, u=0, θ=0)`` problem and are
+    discarded — they cannot contaminate real lanes (lanes are independent
+    under ``vmap``).
+
+    Example::
+
+        server = ILEQGBankServer(problem, ILEQGConfig(), bank_size=2048)
+        results = server.solve_batch(x0s, u_inits, thetas)   # any count
+    """
+
+    def __init__(self, problem, config, bank_size: int = 2048,
+                 depth: int = 8):
+        from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
+
+        self.bank_size = int(bank_size)
+        self.depth = int(depth)
+        self._bank = jax.jit(jax.vmap(
+            lambda x, u, th: ileqg_solve(problem, config, x, u, th)))
+
+    def _pad(self, a):
+        import jax.numpy as jnp
+        a = jnp.asarray(a)
+        k = self.bank_size - a.shape[0]
+        if k == 0:
+            return a
+        pad = jnp.zeros((k,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    def solve_batch(self, x0s, u_inits, thetas):
+        """Solve ``len(thetas)`` requests (any count); returns the stacked
+        ``ILEQGResult`` with exactly one leading entry per request, in
+        order."""
+        import jax.numpy as jnp
+        x0s, u_inits = jnp.asarray(x0s), jnp.asarray(u_inits)
+        thetas = jnp.asarray(thetas)
+        n = thetas.shape[0]
+        if not (x0s.shape[0] == u_inits.shape[0] == n):
+            raise ValueError(
+                f"request fields disagree: {x0s.shape[0]} x0s, "
+                f"{u_inits.shape[0]} u_inits, {n} thetas")
+        B = self.bank_size
+        chunks = [(x0s[i:i + B], u_inits[i:i + B], thetas[i:i + B])
+                  for i in range(0, n, B)]
+
+        def run(chunk):
+            cx, cu, cth = chunk
+            k = cth.shape[0]
+            out = self._bank(self._pad(cx), self._pad(cu), self._pad(cth))
+            return jax.tree_util.tree_map(lambda a: a[:k], out)
+
+        outs = list(pipelined_map(run, chunks, depth=self.depth))
+        return jax.tree_util.tree_map(
+            lambda *xs: jax.numpy.concatenate(xs, axis=0), *outs)
+
+
 def pipelined_map(fn: Callable[[Any], Any], items: Iterable[Any],
                   depth: int = 8,
                   fetch: Optional[Callable[[Any], Any]] = None

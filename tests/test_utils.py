@@ -116,3 +116,38 @@ def test_pipelined_map_matches_serial_and_preserves_order():
     import pytest
     with pytest.raises(ValueError):
         list(pipelined_map(fn, items, depth=0))
+
+
+def test_bank_server_matches_individual_solves():
+    """Padded-bank serving: per-request results identical to individual
+    solves, across padding and chunking boundaries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ratilqr_tpu import ILEQGConfig, ileqg_solve
+    from ratilqr_tpu.models import lqr_problem
+    from ratilqr_tpu.utils.serving import ILEQGBankServer
+
+    prob = lqr_problem(N=6, noise=1e-2)
+    cfg = ILEQGConfig(iter_max=10)
+    server = ILEQGBankServer(prob, cfg, bank_size=4, depth=2)
+
+    rng = np.random.default_rng(0)
+    n_req = 10  # 2.5 banks: exercises padding AND chunk pipelining
+    x0s = jnp.asarray(rng.standard_normal((n_req, 2)))
+    u0s = jnp.asarray(0.1 * rng.standard_normal((n_req, 6, 2)))
+    thetas = jnp.asarray(np.abs(rng.normal(0, 0.05, n_req)))
+
+    out = server.solve_batch(x0s, u0s, thetas)
+    assert out.value.shape == (n_req,)
+    for i in range(n_req):
+        ref = ileqg_solve(prob, cfg, x0s[i], u0s[i], thetas[i])
+        np.testing.assert_allclose(np.asarray(out.value[i]),
+                                   float(ref.value), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.l[i]),
+                                   np.asarray(ref.l), rtol=1e-12)
+
+    import pytest
+    with pytest.raises(ValueError, match="disagree"):
+        server.solve_batch(x0s[:3], u0s, thetas)
