@@ -21,7 +21,7 @@ surface here as ``result.failed`` with ``result.value == +Inf``.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -228,8 +228,14 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         eps_init_init = jnp.asarray(config.eps_init, dtype)
         grown = jnp.minimum(eps_init_init, eps / lam)
         # Bring ε back above ε_min (the reference's `while ϵ < ϵ_min` loop).
-        restored = lax.while_loop(lambda e: e < config.eps_min,
+        # Guard e > 0: enough f32 shrink rounds underflow ε to exactly 0,
+        # where `0/λ == 0` would spin this loop forever (and one such lane
+        # hangs a whole vmapped bank); restore those lanes to ε_min
+        # directly — for every non-zero ε the result is bit-identical to
+        # the unguarded loop.
+        restored = lax.while_loop(lambda e: (e < config.eps_min) & (e > 0),
                                   lambda e: e / lam, eps)
+        restored = jnp.maximum(restored, jnp.asarray(config.eps_min, dtype))
         eps_init_next = jnp.where(count == 1, grown, restored)
     else:
         eps_init_next = state.eps_init_cur
@@ -352,7 +358,6 @@ step = _step
 line_search = _line_search
 
 
-from functools import lru_cache
 
 
 @lru_cache(maxsize=128)

@@ -21,6 +21,7 @@ re-plans (``…:66-68,297-305``).
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -65,6 +66,10 @@ class RATiLQRResult(NamedTuple):
     # Python bool default — a jnp array here would touch the backend at
     # import time; the jit path overrides with a traced bool.
     redraws_exhausted: Array = False
+    # Final re-solve still failed after the θ-backoff budget (incl. the
+    # forced terminal θ=0 attempt) — x/l/L are then NOT a usable plan and
+    # value is +Inf.  Always False on the host path, which raises instead.
+    final_failed: Array = False
 
 
 def init_state(config: CrossEntropyConfig, dtype=jnp.float64) -> CEState:
@@ -95,8 +100,6 @@ def get_positive_samples(key: Array, mu: Array, sigma: Array,
     return mu + sigma * z
 
 
-from functools import lru_cache
-
 
 @lru_cache(maxsize=128)
 def make_cost_fn(problem: RiskSensitiveProblem, config: CrossEntropyConfig):
@@ -109,7 +112,13 @@ def make_cost_fn(problem: RiskSensitiveProblem, config: CrossEntropyConfig):
 
     def cost_fn(x0, u_init, thetas, kl_bound):
         res = bank(x0, u_init, thetas)
-        return res.value + kl_bound / thetas
+        cost = res.value + kl_bound / thetas
+        # A NaN objective is a failed solve: mask it to Inf like every
+        # other failure (the Inf-masking invariant).  Without this, NaN
+        # lanes sort opposite ways in the host (np.argsort: last) and jit
+        # (top_k(-c): FIRST → NaN elites poison the refit) paths.
+        return jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, cost.dtype),
+                         cost)
 
     return jax.jit(cost_fn)
 
@@ -256,10 +265,11 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
                 tmin, tmax = state.theta_min, state.theta_max
             else:
                 value = res.value
-                # Parity: with kl_bound == 0 the reference returns its
-                # initialize!-reset θ-range fields (Inf, 0.0) untouched
-                # (ref :386-389 skips the CE loop entirely).
-                tmin, tmax = state.theta_min, state.theta_max
+                # Parity: with kl_bound == 0 the reference returns the
+                # literal pair (0.0, 0.0) for the θ-range (ref :408),
+                # NOT the solver's initialize!-reset fields.
+                tmin = jnp.asarray(0.0, dtype)
+                tmax = jnp.asarray(0.0, dtype)
             return RATiLQRResult(
                 theta_opt=jnp.asarray(theta_opt, dtype), x=res.x, l=res.l,
                 L=res.L, value=value, theta_min=tmin, theta_max=tmax,
@@ -269,6 +279,11 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
             print(f"θ_opt == {theta_opt} resulted in neurotic breakdown. "
                   f"Re-trying with θ_opt == {max(0.0, theta_opt - sigma)}")
         theta_opt = max(0.0, theta_opt - sigma)
+        if sigma == 0.0 and theta_opt > 0.0:
+            # Collapsed elite σ cannot make progress (the reference's
+            # unbounded loop would spin at the same θ forever); jump
+            # straight to the reference's terminal θ = 0 attempt.
+            theta_opt = 0.0
     raise RuntimeError("RAT iLQR final solve failed even at θ = 0")
 
 

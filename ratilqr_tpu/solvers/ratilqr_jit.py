@@ -21,7 +21,6 @@ Exceptions are already masks at the iLEQG level (value=Inf lanes).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,23 +28,17 @@ from jax import lax
 
 from ratilqr_tpu.config import CrossEntropyConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
-from ratilqr_tpu.solvers.ileqg import ILEQGResult
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
-from ratilqr_tpu.solvers.ratilqr import CEState, RATiLQRResult
+from ratilqr_tpu.solvers.ratilqr import (CEState, RATiLQRResult,
+                                         get_positive_samples)
 
 Array = jnp.ndarray
 
 _MAX_REDRAWS = 25        # feasibility redraw bound (μ_init shrinks by λ each
                          # round: 25 halvings spans 7 orders of magnitude)
-_MAX_FINAL_RETRIES = 25  # θ-backoff bound for the final re-solve
-
-
-def _sample_positive(key: Array, mu: Array, sigma: Array, num: int,
-                     dtype) -> Array:
-    lower = (0.0 - mu) / sigma
-    z = jax.random.truncated_normal(key, lower, jnp.asarray(jnp.inf, dtype),
-                                    (num,), dtype)
-    return mu + sigma * z
+_MAX_FINAL_RETRIES = 25  # θ-backoff bound for the final re-solve; the LAST
+                         # retry forces θ = 0 (the reference's unbounded loop
+                         # terminates there for any well-posed problem)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -67,7 +60,12 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
     def bank_costs(thetas):
         res = jax.vmap(lambda th: ileqg_solve(problem, config.ileqg, x0,
                                               u_init, th))(thetas)
-        return res.value + kl_bound / thetas
+        cost = res.value + kl_bound / thetas
+        # NaN objective = failed solve → Inf (Inf-masking invariant).
+        # Critically, top_k(-cost) below would rank NaN FIRST (elite!)
+        # while the host path's argsort ranks it last.
+        return jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, dtype),
+                         cost)
 
     # initialize! (ref :133-138)
     mu_init0, sigma_init0 = state.mu_init, state.sigma_init
@@ -91,7 +89,7 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
             key, sub = jax.random.split(key)
             mu_s = jnp.where(it == 1, mu_init, mu)
             sigma_s = jnp.where(it == 1, sigma_init, sigma)
-            thetas = _sample_positive(sub, mu_s, sigma_s, ns, dtype)
+            thetas = get_positive_samples(sub, mu_s, sigma_s, ns, dtype)
             costs = bank_costs(thetas)
             num_valid = jnp.sum(jnp.isfinite(costs))
             # iteration-1 feasibility adaptation (ref :293-305)
@@ -150,9 +148,10 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
                 exhausted)
 
     def skip_ce(operand):
-        # kl_bound == 0 → pure iLQG (ref :386-389); CE state untouched.
-        # θ-range parity: the initialize!-reset fields (Inf, 0.0) are
-        # returned untouched, like the reference and the host path.
+        # kl_bound == 0 → pure iLQG (ref :386-389); CE state untouched
+        # (the STATE keeps the initialize!-reset θ-range; the RETURNED
+        # range is the reference's literal (0.0, 0.0), ref :408 — applied
+        # at the result construction below).
         return (ce0["mu_init"], ce0["sigma_init"], ce0["mu"], ce0["sigma"],
                 ce0["theta_min"], ce0["theta_max"],
                 jnp.asarray(0.0, dtype), jnp.zeros((), bool))
@@ -171,6 +170,11 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
     def retry_body(carry):
         k, th, _ = carry
         th = jnp.maximum(jnp.asarray(0.0, dtype), th - sigma)
+        # Last budgeted retry: force the reference's terminal θ = 0
+        # attempt (its unbounded loop always reaches it — and with a
+        # collapsed σ == 0 the decrement alone never would).
+        th = jnp.where(k + 1 >= _MAX_FINAL_RETRIES,
+                       jnp.asarray(0.0, dtype), th)
         res = ileqg_solve(problem, config.ileqg, x0, u_init, th)
         return (k + 1, th, res)
 
@@ -185,6 +189,12 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         # 0 when the CE search never ran (kl_bound == 0), matching the
         # host path's initialize!-only semantics.
         iter_current=jnp.where(kl_bound > 0, config.iter_max, 0))
+    # Returned θ-range: the reference's kl_bound == 0 branch returns the
+    # literal (0.0, 0.0) (ref :408); the state keeps its reset fields.
+    zero = jnp.asarray(0.0, dtype)
     return RATiLQRResult(theta_opt=theta_opt, x=res.x, l=res.l, L=res.L,
-                         value=value, theta_min=tmin, theta_max=tmax,
-                         state=new_state, redraws_exhausted=exhausted)
+                         value=value,
+                         theta_min=jnp.where(kl_bound > 0, tmin, zero),
+                         theta_max=jnp.where(kl_bound > 0, tmax, zero),
+                         state=new_state, redraws_exhausted=exhausted,
+                         final_failed=res.failed)

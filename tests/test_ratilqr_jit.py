@@ -111,3 +111,47 @@ def test_fleet_vmap_over_full_solve():
                                x0s[0], u0, keys[0], jnp.asarray(0.05, dt))
     np.testing.assert_allclose(float(res.value[0]), float(single.value),
                                rtol=1e-9)
+
+
+def test_kl_zero_returns_reference_theta_range():
+    """kl_bound == 0 returns the reference's literal θ-range (0.0, 0.0)
+    (``cross_entropy_bilevel_optimization.jl:408``) in BOTH paths — not
+    the solver state's initialize!-reset fields."""
+    prob, x0, u0 = _fixture()
+    config = CrossEntropyConfig(num_samples=3)
+    rj = ratilqr_jit.solve(prob, config, ratilqr.init_state(config), x0, u0,
+                           jax.random.key(0), 0.0)
+    assert float(rj.theta_min) == 0.0 and float(rj.theta_max) == 0.0
+    rh = ratilqr.solve(prob, config, ratilqr.init_state(config), x0, u0,
+                       jax.random.key(0), kl_bound=0.0)
+    assert float(rh.theta_min) == 0.0 and float(rh.theta_max) == 0.0
+    # The STATE keeps the initialize!-reset fields (ref struct semantics).
+    assert np.isinf(float(rj.state.theta_min))
+
+
+def test_unsolvable_problem_surfaces_final_failure():
+    """A problem whose neurotic-breakdown check fails at EVERY θ including
+    0 (non-PSD W → M = W⁻¹ − θS is never PSD; the reference's final-solve
+    retry loop would spin forever, ref :390-414) must exhaust the θ-backoff
+    (incl. the forced terminal θ = 0 attempt) and SURFACE the failure —
+    ``final_failed=True`` with ``value = Inf`` — instead of silently
+    returning garbage controls."""
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.problems import RiskSensitiveProblem
+
+    prob = RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: 0.5 * (x @ x) + 0.5 * (u @ u),
+        h=lambda x: 0.5 * (x @ x),
+        W=lambda k: -0.01 * jnp.eye(2), N=6)
+    config = CrossEntropyConfig(num_samples=4, num_elite=2, iter_max=2,
+                                ileqg=ILEQGConfig(iter_max=5))
+    x0 = jnp.array([1.0, -1.0], jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    res = ratilqr_jit.solve(prob, config, ratilqr.init_state(config), x0,
+                            u0, jax.random.key(0),
+                            jnp.asarray(0.1, jnp.float64))
+    assert bool(res.redraws_exhausted)   # no feasible θ ever drawn
+    assert bool(res.final_failed)        # even θ = 0 failed
+    assert float(res.theta_opt) == 0.0   # the terminal attempt WAS θ = 0
+    assert np.isinf(float(res.value))    # Inf-masking invariant holds
