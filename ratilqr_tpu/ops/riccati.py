@@ -22,7 +22,7 @@ while a non-PSD ``H`` triggers ``increase_μ_and_Δ!`` and a full restart.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -112,7 +112,10 @@ def _riccati_core(approx: Approximation, theta: Array, mu: Array,
     theta_is_zero = theta == 0.0
     theta_safe = jnp.where(theta_is_zero, jnp.ones((), dtype), theta)
 
-    # dl_traj is always materialized by _core_dispatch in evaluating mode.
+    # Evaluating mode: dl arrives in the scan inputs except on the slim
+    # has_dl=False path, where the core synthesizes dl0 = 0 itself (and
+    # the Pallas kernel never materializes it) - do NOT assume
+    # _core_dispatch always supplies a concrete dl_traj.
 
     def step(carry, inp):
         s, s_vec, S, m_fail, h_fail = carry
@@ -219,7 +222,10 @@ def _pallas_eligible(axis_size: int, dtype) -> bool:
     if _os.environ.get("RATILQR_DISABLE_PALLAS") == "1":
         return False
     if _os.environ.get("RATILQR_FORCE_PALLAS") == "1":
-        return True
+        # Forced (interpret-mode testing) still requires f32 - the Mosaic
+        # kernel has no f64 lowering; fall back to the scan path loudly
+        # eligible-checked rather than crash inside the kernel.
+        return dtype == jnp.float32
     return (jax.default_backend() in ("tpu", "axon")
             and dtype == jnp.float32
             and axis_size >= int(_os.environ.get(
@@ -413,7 +419,7 @@ def _core_dispatch(approx, theta, mu, L_traj, dl_traj, unroll,
 def dp_evaluate(approx: Approximation, L_traj: Array,
                 dl_traj: Optional[Array] = None, *, theta: Array,
                 mu: Array, unroll: int = 1,
-                slim: bool = False) -> Tuple[DPResult, Array]:
+                slim: bool = False) -> Tuple[Union[DPResult, Array], Array]:
     """Policy-evaluating backward pass under fixed gains.
 
     Counterpart of ``solve_approximate_dp`` (``ileqg.jl:412-465``).  Returns
@@ -471,7 +477,8 @@ def dp_optimize(approx: Approximation, *, theta: Array, mu: Array,
                 delta: Array, mu_min: float, delta_0: float,
                 max_restarts: int = MAX_MU_RESTARTS, unroll: int = 1,
                 slim: bool = False
-                ) -> Tuple[DPResult, Array, Array, Array, Array, Array]:
+                ) -> Tuple[Union[DPResult, Array], Array, Array, Array,
+                           Array, Array]:
     """Policy-optimizing backward pass with the μ-restart retry loop.
 
     Counterpart of ``solve_approximate_dp!`` (``ileqg.jl:341-406``): the
