@@ -54,6 +54,7 @@ class Approximation(NamedTuple):
 
 # Symmetrize — counterpart of the reference's ``Symmetric`` wrapping of AD
 # Hessians (``ileqg.jl:270-273``); single shared implementation.
+from ratilqr_tpu.ops import smallmat  # noqa: E402
 from ratilqr_tpu.ops.smallmat import sym as _sym  # noqa: E402
 
 
@@ -90,6 +91,10 @@ def approximate_model(problem: RiskSensitiveProblem, u_traj: Array,
     q, q_vec, Q, r, R, P = jax.vmap(stage)(ks, xs, us)
 
     if A is None or B is None:
+        # Recompute ONLY the missing Jacobian stacks -- the reference's
+        # A_array_input/B_array_input fast paths are independent
+        # (ileqg.jl:302-311), and a user-supplied analytic A may
+        # intentionally differ from AD of f.
         if problem.has_jacobian:
             def dyn_jac(x, u):
                 _, Am, Bm = problem.f_jac(x, u)
@@ -98,12 +103,13 @@ def approximate_model(problem: RiskSensitiveProblem, u_traj: Array,
             def dyn_jac(x, u):
                 return (jax.jacfwd(f, argnums=0)(x, u),
                         jax.jacfwd(f, argnums=1)(x, u))
-        A, B = jax.vmap(dyn_jac)(xs, us)
+        A_ad, B_ad = jax.vmap(dyn_jac)(xs, us)
+        A = A_ad if A is None else A
+        B = B_ad if B is None else B
 
     Wm = jax.vmap(W)(ks)
     # Loop-invariant W factorization for the Riccati backward pass
     # (closed-form small-matrix Cholesky: fusable, no custom calls).
-    from ratilqr_tpu.ops import smallmat
     W_chol = smallmat.cholesky(Wm)
     W_inv = smallmat.cho_inverse(W_chol)
     logdet_W = smallmat.cho_logdet(W_chol)

@@ -82,15 +82,19 @@ def rollout_open_loop_noisy(problem: RiskSensitiveProblem, x0: Array,
     n = x0.shape[0]
     N = u_traj.shape[0]
     zs = jax.random.normal(key, (N, n), dtype=x0.dtype)
+    # W depends only on k: factor all N covariances OUTSIDE the scan (a
+    # cholesky custom call inside the scan body is an unfusable per-step
+    # kernel boundary -- see ops/smallmat.py).
+    ws = jnp.einsum("kij,kj->ki",
+                    jnp.linalg.cholesky(jax.vmap(problem.W)(
+                        _time_indices(N))), zs)
 
     def step(x, inp):
-        k, u, z = inp
-        Wk = problem.W(k)
-        w = jnp.linalg.cholesky(Wk) @ z
+        u, w = inp
         x_next = problem.f(x, u) + w
         return x_next, x_next
 
-    _, xs = lax.scan(step, x0, (_time_indices(N), u_traj, zs))
+    _, xs = lax.scan(step, x0, (u_traj, ws))
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -146,17 +150,21 @@ def rollout_feedback_noisy(problem: RiskSensitiveProblem, x_ref: Array,
     n = x_ref.shape[1]
     N = l_traj.shape[0]
     zs = jax.random.normal(key, (N, n), dtype=x_ref.dtype)
+    # Per-step noise precomputed outside the scan (see the open-loop
+    # variant above).
+    ws = jnp.einsum("kij,kj->ki",
+                    jnp.linalg.cholesky(jax.vmap(problem.W)(
+                        _time_indices(N))), zs)
 
     def step(x, inp):
-        k, x_ref_t, l_t, L_t, z = inp
+        x_ref_t, l_t, L_t, w = inp
         u = l_t + L_t @ (x - x_ref_t)
-        w = jnp.linalg.cholesky(problem.W(k)) @ z
         x_next = problem.f(x, u) + w
         return x_next, (x_next, u)
 
     x0 = x_ref[0]
     _, (xs, us) = lax.scan(
-        step, x0, (_time_indices(N), x_ref[:-1], l_traj, L_traj, zs))
+        step, x0, (x_ref[:-1], l_traj, L_traj, ws))
     return jnp.concatenate([x0[None], xs], axis=0), us
 
 

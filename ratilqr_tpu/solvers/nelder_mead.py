@@ -17,6 +17,7 @@ import dataclasses
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ratilqr_tpu.config import NelderMeadConfig
@@ -26,6 +27,15 @@ from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
 Array = jnp.ndarray
 
 _MAX_BOOTSTRAP = 60  # feasibility-bootstrap halvings (~18 orders of θ)
+
+
+def _missing_c(c) -> bool:
+    """A vertex cost is "missing" if it is None (fresh host state) OR the
+    jit path's concrete-NaN encoding (a kl_bound == 0 jit solve round-trips
+    fresh state as NaN arrays — see ``nelder_mead_jit.skip_nm``)."""
+    if c is None:
+        return True
+    return math.isnan(float(c))
 
 
 class NMState(NamedTuple):
@@ -71,9 +81,13 @@ def _make_cost(problem: RiskSensitiveProblem, config: NelderMeadConfig,
 
     def cost(theta: float) -> float:
         res = ileqg_solve(problem, config.ileqg, x0, u_init, theta)
-        if bool(res.failed):
+        # One combined fetch: each device round trip costs ~27 ms on the
+        # tunneled backend and this is the host path's per-vertex unit.
+        failed, value = jax.device_get((res.failed, res.value))
+        v = float(value) + kl_bound / theta
+        if bool(failed) or math.isnan(v):
             return math.inf
-        return float(res.value) + kl_bound / theta
+        return v
 
     return cost
 
@@ -155,19 +169,21 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         # unbounded and hangs on a problem that fails at EVERY θ (e.g. NaN
         # dynamics); bounded here — like the CE redraw loop — with the
         # failure surfaced as value=Inf from the final solve.
-        if state.c_high is None:
-            for _ in range(_MAX_BOOTSTRAP):
+        if _missing_c(state.c_high):
+            for i in range(_MAX_BOOTSTRAP):
                 c = cost(state.theta_high)
-                if math.isfinite(c):
+                # On budget exhaustion keep θ AT the last evaluated value
+                # (c pairs with the stored θ; the jit ladder matches).
+                if math.isfinite(c) or i == _MAX_BOOTSTRAP - 1:
                     break
                 state = state._replace(
                     theta_high=state.theta_high * config.lam,
                     theta_high_init=state.theta_high_init * config.lam)
             state = state._replace(c_high=c)
-        if state.c_low is None:
-            for _ in range(_MAX_BOOTSTRAP):
+        if _missing_c(state.c_low):
+            for i in range(_MAX_BOOTSTRAP):
                 c = cost(state.theta_low)
-                if math.isfinite(c):
+                if math.isfinite(c) or i == _MAX_BOOTSTRAP - 1:
                     break
                 state = state._replace(
                     theta_low=state.theta_low * config.lam,
@@ -183,7 +199,7 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                 if verbose:
                     print(f"Nelder-Mead converged. stdev == {stdev:.4g}")
                 break
-            if state.iter_current == config.iter_max:
+            if state.iter_current >= config.iter_max:
                 if verbose:
                     print(f"Maximum iterations. stdev == {stdev:.4g}")
                 break

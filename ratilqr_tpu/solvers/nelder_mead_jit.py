@@ -66,7 +66,12 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         failure→Inf masked (``compute_cost_worker``, ref :134-158)."""
         res = jax.vmap(lambda th: ileqg_solve(problem, config.ileqg, x0,
                                               u_init, th))(thetas)
-        return res.value + kl_bound / thetas
+        cost = res.value + kl_bound / thetas
+        # NaN objective = failed solve -> Inf (Inf-masking invariant);
+        # keeps all comparisons in the decision replay well-ordered and
+        # matches the host path's NaN handling.
+        return jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, dtype),
+                         cost)
 
     def bootstrap():
         """Both vertices' full λ-ladders in one bank; first finite wins —
@@ -80,7 +85,12 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
 
         def first_finite(ladder, cs, init0):
             ok = jnp.isfinite(cs)
-            k = jnp.argmax(ok)  # first True; 0 if none (cost stays Inf)
+            # First finite entry; on a problem infeasible at EVERY theta,
+            # the bounded host loop exhausts at the LAST evaluated rung
+            # with its inits halved (_MAX_BOOTSTRAP - 1) times -- match it
+            # so warm-started decision parity survives the edge case.
+            k = jnp.where(ok.any(), jnp.argmax(ok),
+                          i32(_MAX_BOOTSTRAP - 1))
             return ladder[k], cs[k], init0 * lam ** k.astype(dtype)
 
         th_hi, c_hi, hi_init = first_finite(ladder_hi, c_h, th_hi_init0)
@@ -119,7 +129,9 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         c_exp = jnp.where(e_better, c_e, c_r)
 
         keep_r = ~expand & (c_r < c_hi)
-        th_hi2 = jnp.where(keep_r, th_r, th_hi)   # simplex before contract
+        # (the transient theta_high = theta_r assignment, ref :228, is
+        # always overwritten by the contraction outcome -- only its COST
+        # feeds the shrink decision, ref :238)
         c_hi2 = jnp.where(keep_r, c_r, c_hi)
         th_c = jnp.where(keep_r, th_c1, th_c0)
         c_c = jnp.where(keep_r, c_c1, c_c0)
@@ -195,16 +207,24 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     :class:`NMState` ready for the next warm-started call.
     """
     dtype = x0.dtype
+    if (not isinstance(kl_bound, jax.core.Tracer)
+            and float(kl_bound) < 0):
+        raise ValueError("KL divergence bound must be non-negative")
 
-    def _missing(c):
-        if c is None:
-            return True
-        c = jnp.asarray(c)
+    ch, cl = state.c_high, state.c_low
+    if ch is None or cl is None:
+        have_c = False
+    elif (isinstance(jnp.asarray(ch), jax.core.Tracer)
+          or isinstance(jnp.asarray(cl), jax.core.Tracer)):
+        have_c = True  # traced (scan carry): concrete values by contract
+    else:
         # Concrete NaN = "missing" round-tripped through a kl_bound==0
-        # solve's returned state (see skip_nm).
-        return not isinstance(c, jax.core.Tracer) and bool(jnp.isnan(c))
-
-    have_c = not (_missing(state.c_high) or _missing(state.c_low))
+        # solve's returned state (see skip_nm).  ONE combined fetch --
+        # this runs on every warm-started MPC re-plan and each device
+        # round trip costs ~27 ms on the tunneled backend.
+        nan_h, nan_l = jax.device_get((jnp.isnan(jnp.asarray(ch)),
+                                       jnp.isnan(jnp.asarray(cl))))
+        have_c = not (bool(nan_h) or bool(nan_l))
     zero = jnp.zeros((), dtype)
     state_arr = (jnp.asarray(state.theta_high_init, dtype),
                  jnp.asarray(state.theta_low_init, dtype),

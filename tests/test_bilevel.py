@@ -221,3 +221,26 @@ def test_nelder_mead_jit_fleet_vmap():
                                    float(rh.theta_opt), rtol=1e-9)
         np.testing.assert_allclose(float(fleet.value[i]), float(rh.value),
                                    rtol=1e-9)
+
+
+def test_host_path_decodes_jit_nan_state():
+    """A kl_bound == 0 jit solve round-trips fresh state as concrete-NaN
+    c_high/c_low; the host path must decode that as "missing" and run the
+    feasibility bootstrap — not iterate on NaN costs (which would silently
+    return θ_opt ≈ theta_low_init)."""
+    from ratilqr_tpu.solvers import nelder_mead_jit
+
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+    r0 = nelder_mead_jit.solve(prob, config, nelder_mead.init_state(config),
+                               x0, u0, kl_bound=0.0)
+    assert np.isnan(float(np.asarray(r0.state.c_high)))  # NaN encoding
+
+    rh = nelder_mead.solve(prob, config, r0.state, x0, u0,
+                           kl_bound=KL_BOUND)
+    ref = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                            x0, u0, kl_bound=KL_BOUND)
+    np.testing.assert_allclose(float(rh.theta_opt), float(ref.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rh.value), float(ref.value),
+                               rtol=1e-9)
