@@ -79,10 +79,12 @@ def _run():
     dtype = jnp.float32
     T = 100
     # One ~27 ms tunnel round trip per dispatch dominates small banks
-    # (marginal device cost is ~1.9 µs/solve warm); 16k lanes amortize it
-    # inside a 55 ms re-plan — a fleet-MPC-plausible cycle.  The B-scaling
-    # curve is in BASELINE.md.
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    # (marginal device cost is ~1.9 µs/solve warm).  B=65,536 is the
+    # measured throughput knee of the B-scaling curve (BASELINE.md):
+    # larger banks LOSE throughput to the linear-in-B while-carry select
+    # sweeps (464k at 128k lanes, 432k at 256k).  For a latency-constrained
+    # fleet-MPC cycle use B=16,384 (~51 ms/re-plan, ~320k solves/s).
+    batch = int(os.environ.get("BENCH_BATCH", "65536"))
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "1"))
     problem = unicycle(N=T, dtype=dtype)
     # Reference iteration budget (ileqg.jl:192) + adaptive ε warm start
