@@ -101,9 +101,18 @@ def _run():
     # Spread of risk sensitivities incl. θ=0 — the RAT iLQR workload mix.
     thetas = jnp.linspace(0.0, 0.02, batch).astype(dtype)
 
-    # Cold start: compile + produce a warm-start schedule (untimed).
+    # Cold start: compile + produce a warm-start schedule (untimed in the
+    # headline, but recorded — the first call's cost depends on whether
+    # /root/repo/.jax_cache already holds this executable, so the artifact
+    # records both the time and the cache state to keep round-over-round
+    # comparisons honest).
+    cache_dir = "/root/repo/.jax_cache"
+    cache_entries = (len(os.listdir(cache_dir))
+                     if os.path.isdir(cache_dir) else 0)
+    t0 = time.perf_counter()
     res = bank(x0, u_cold, thetas)
     n_failed = int(fetch(jnp.sum(res.failed)))
+    first_call_s = time.perf_counter() - t0
     assert n_failed == 0, f"{n_failed}/{batch} lanes failed"
     u_warm = res.l[0]
 
@@ -123,12 +132,22 @@ def _run():
         best = min(best, (time.perf_counter() - t0) / depth)
 
     solves_per_s = batch / best
-    print(json.dumps({
+    record = {
         "metric": "ileqg_solves_per_s_chip_T100",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-    }))
+        # Self-describing workload keys: the metric is only comparable
+        # across rounds at equal bank size/pipelining (advisor round 2).
+        "batch": batch,
+        # First bank call = compile, or persistent-cache reload when
+        # .jax_cache already holds the executable (entries>0 → warm cache).
+        "first_call_s": round(first_call_s, 2),
+        "jax_cache_entries_before": cache_entries,
+    }
+    if depth > 1:
+        record["pipeline_depth"] = depth
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -64,45 +64,55 @@ def bench_ileqg_throughput(batch=2048, T=100):
 
 
 def bench_ratilqr_mpc(T=30, steps=10):
+    """RAT iLQR re-plan latency, host vs fully-jitted, in two inner-solver
+    configs: the fixed-ε line search (reference default,
+    ``adaptive_ϵ_init=false``) and the reference's adaptive-ε feature
+    (``ileqg.jl:582-591``) which warm re-plans exploit heavily."""
     from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig
     from ratilqr_tpu.models import unicycle
     from ratilqr_tpu.mpc import MPCDriver
+    from ratilqr_tpu.solvers import ratilqr, ratilqr_jit
     from ratilqr_tpu.solvers.ratilqr import RATiLQRSolver
 
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
-    config = CrossEntropyConfig(
-        num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
-        ileqg=ILEQGConfig(iter_max=30, scan_unroll=10))
-    solver = RATiLQRSolver(problem, config)
-    driver = MPCDriver(
-        problem=problem,
-        plan=lambda x, u, key: solver.solve(x, u, key, kl_bound=0.05))
-    recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
-                      jax.random.key(0), num_steps=steps)
-    lat = sorted(r.plan_time_s for r in recs[1:])  # drop compile step
-    out = {"ratilqr_mpc_step_p50_ms": 1e3 * lat[len(lat) // 2],
-           "ratilqr_mpc_step_best_ms": 1e3 * lat[0]}
+    out = {}
+    for tag, adaptive in (("", False), ("_adaptive", True)):
+        config = CrossEntropyConfig(
+            num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
+            ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
+                              adaptive_eps_init=adaptive,
+                              eps_history_cap=0 if adaptive else 256))
+        if not adaptive:  # host-orchestrated path: fixed-ε config only
+            solver = RATiLQRSolver(problem, config)
+            driver = MPCDriver(
+                problem=problem,
+                plan=lambda x, u, key: solver.solve(x, u, key,
+                                                    kl_bound=0.05))
+            recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                              jax.random.key(0), num_steps=steps)
+            lat = sorted(r.plan_time_s for r in recs[1:])  # drop compile
+            out["ratilqr_mpc_step_p50_ms"] = 1e3 * lat[len(lat) // 2]
+            out["ratilqr_mpc_step_best_ms"] = 1e3 * lat[0]
 
-    # Single-dispatch fully-jitted RAT iLQR (one device program per re-plan).
-    from ratilqr_tpu.solvers import ratilqr, ratilqr_jit
+        # Single-dispatch fully-jitted RAT iLQR (one program per re-plan).
+        class JitPlan:
+            def __init__(self, config):
+                self.config = config
+                self.state = ratilqr.init_state(config, dtype)
 
-    class JitPlan:
-        def __init__(self):
-            self.state = ratilqr.init_state(config, dtype)
+            def __call__(self, x, u, key):
+                res = ratilqr_jit.solve(problem, self.config, self.state,
+                                        x, u, key, jnp.asarray(0.05, dtype))
+                self.state = res.state
+                return res
 
-        def __call__(self, x, u, key):
-            res = ratilqr_jit.solve(problem, config, self.state, x, u, key,
-                                    jnp.asarray(0.05, dtype))
-            self.state = res.state
-            return res
-
-    driver = MPCDriver(problem=problem, plan=JitPlan())
-    recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
-                      jax.random.key(0), num_steps=steps)
-    lat = sorted(r.plan_time_s for r in recs[1:])
-    out["ratilqr_jit_mpc_step_p50_ms"] = 1e3 * lat[len(lat) // 2]
-    out["ratilqr_jit_mpc_step_best_ms"] = 1e3 * lat[0]
+        driver = MPCDriver(problem=problem, plan=JitPlan(config))
+        recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                          jax.random.key(0), num_steps=steps)
+        lat = sorted(r.plan_time_s for r in recs[1:])
+        out[f"ratilqr_jit{tag}_mpc_step_p50_ms"] = 1e3 * lat[len(lat) // 2]
+        out[f"ratilqr_jit{tag}_mpc_step_best_ms"] = 1e3 * lat[0]
     return out
 
 
@@ -117,28 +127,35 @@ def bench_nm_mpc(T=30, steps=10):
 
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
-    config = NelderMeadConfig(theta_high_init=0.02, theta_low_init=1e-8,
-                              ileqg=ILEQGConfig(iter_max=30, scan_unroll=10))
     out = {}
-    for tag, solve_fn in (("nm", nelder_mead.solve),
-                          ("nm_jit", nelder_mead_jit.solve)):
-        class Plan:
-            def __init__(self, fn):
-                self.fn = fn
-                self.state = nelder_mead.init_state(config)
+    for cfg_tag, adaptive in (("", False), ("_adaptive", True)):
+        config = NelderMeadConfig(
+            theta_high_init=0.02, theta_low_init=1e-8,
+            ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
+                              adaptive_eps_init=adaptive,
+                              eps_history_cap=0 if adaptive else 256))
+        variants = [("nm_jit", nelder_mead_jit.solve)]
+        if not adaptive:  # host-orchestrated path: fixed-ε config only
+            variants.insert(0, ("nm", nelder_mead.solve))
+        for tag, solve_fn in variants:
+            class Plan:
+                def __init__(self, fn):
+                    self.fn = fn
+                    self.state = nelder_mead.init_state(config)
 
-            def __call__(self, x, u, key):
-                res = self.fn(problem, config, self.state, x, u,
-                              kl_bound=0.05)
-                self.state = res.state
-                return res
+                def __call__(self, x, u, key):
+                    res = self.fn(problem, config, self.state, x, u,
+                                  kl_bound=0.05)
+                    self.state = res.state
+                    return res
 
-        driver = MPCDriver(problem=problem, plan=Plan(solve_fn))
-        recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
-                          jax.random.key(0), num_steps=steps)
-        lat = sorted(r.plan_time_s for r in recs[2:])  # drop both compiles
-        out[f"{tag}_mpc_step_p50_ms"] = 1e3 * lat[len(lat) // 2]
-        out[f"{tag}_mpc_step_best_ms"] = 1e3 * lat[0]
+            driver = MPCDriver(problem=problem, plan=Plan(solve_fn))
+            recs = driver.run(jnp.zeros(3, dtype), jnp.zeros((T, 2), dtype),
+                              jax.random.key(0), num_steps=steps)
+            lat = sorted(r.plan_time_s for r in recs[2:])  # drop compiles
+            out[f"{tag}{cfg_tag}_mpc_step_p50_ms"] = (
+                1e3 * lat[len(lat) // 2])
+            out[f"{tag}{cfg_tag}_mpc_step_best_ms"] = 1e3 * lat[0]
     return out
 
 
@@ -270,6 +287,39 @@ def bench_models_scaling(batch=2048):
     return out
 
 
+def bench_bank_scaling(T=100, batches=(16384, 65536, 131072, 262144)):
+    """Warm single-dispatch bank throughput vs bank size — regenerates the
+    ``ileqg_warm_B*`` keys (advisor round 2: these were hand-edited into
+    the artifact and a regeneration would have silently dropped them).
+    Same solver config as ``bench.py``; the knee of this curve picks
+    bench.py's default batch."""
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.models import unicycle
+    from ratilqr_tpu.solvers.ileqg import make_batched_solver
+    from ratilqr_tpu.utils.profiling import time_fn
+
+    dtype = jnp.float32
+    problem = unicycle(N=T, dtype=dtype)
+    bank = make_batched_solver(problem, ILEQGConfig(
+        iter_max=100, d_tol=1e-2, scan_unroll=10, adaptive_eps_init=True,
+        eps_history_cap=0))
+    x0 = jnp.zeros(3, dtype)
+    u0 = jnp.zeros((T, 2), dtype)
+    xm = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)
+    out = {}
+    for batch in batches:
+        thetas = jnp.linspace(0.0, 0.02, batch).astype(dtype)
+        u_warm = bank(x0, u0, thetas).l[0]
+        stats = time_fn(lambda th: bank(xm, u_warm, th).value, thetas,
+                        reps=3)
+        out[f"ileqg_warm_B{batch}_solves_per_s"] = round(
+            batch / stats["best"], 1)
+    out["bank_scaling_note"] = (
+        "single-dispatch warm bank throughput vs bank size (bench.py "
+        "config); bench.py default batch sits at the knee of this curve")
+    return out
+
+
 def bench_scaling_cpu():
     """Sharding overhead on the 8-virtual-device CPU mesh.
 
@@ -308,7 +358,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", default=None)
     parser.add_argument("--skip", default="",
-                        help="comma list: ileqg,mpc,nm,fleet,modelsizes,pets,scaling")
+                        help="comma list: ileqg,mpc,nm,fleet,modelsizes,"
+                             "banks,pets,scaling")
     args = parser.parse_args()
     skip = set(args.skip.split(","))
 
@@ -333,6 +384,8 @@ def main():
             results.update(bench_ratilqr_fleet())
         if "modelsizes" not in skip:
             results.update(bench_models_scaling())
+        if "banks" not in skip:
+            results.update(bench_bank_scaling())
         if "pets" not in skip:
             results.update(bench_pets())
             # Reference-scale workload: 16,384 rollouts/generation, the
