@@ -100,6 +100,14 @@ class CrossEntropyConfig:
     ``mu_init``/``sigma_init`` live in the *state* (they adapt across MPC
     re-plans, ``cross_entropy_bilevel_optimization.jl:66-68``), not here;
     only their initial values are configured.
+
+    ``verbose`` emits the per-generation progress traces (the reference's
+    verbose-gated prints, ``cross_entropy_bilevel_optimization.jl:260-309``)
+    — from the host path via ``print`` and from the fully-jitted path via
+    ``jax.debug.print``; static, so disabled verbosity costs nothing.
+    (Caveat: runtimes without host-callback support — e.g. the tunneled
+    axon dev backend — reject ``jax.debug.print`` programs; verbose jit
+    solves require CPU or a standard TPU runtime.)
     """
     num_samples: int = 10
     num_elite: int = 3
@@ -108,6 +116,7 @@ class CrossEntropyConfig:
     use_theta_max: bool = False
     mu_init: float = 1.0
     sigma_init: float = 2.0
+    verbose: bool = False
     ileqg: ILEQGConfig = ILEQGConfig()
 
     def __post_init__(self):
@@ -119,7 +128,13 @@ class CrossEntropyConfig:
 @dataclasses.dataclass(frozen=True)
 class NelderMeadConfig:
     """RAT iLQR++ outer Nelder-Mead parameters
-    (``nelder_mead_bilevel_optimization.jl:85-128``)."""
+    (``nelder_mead_bilevel_optimization.jl:85-128``).
+
+    ``verbose`` emits the per-iteration simplex traces (the reference's
+    verbose-gated prints, ``nelder_mead_bilevel_optimization.jl:181-249``)
+    — host path via ``print``, fully-jitted path via ``jax.debug.print``;
+    static, so disabled verbosity costs nothing.
+    """
     alpha: float = 1.0    # reflection
     beta: float = 2.0     # expansion
     gamma: float = 0.5    # contraction
@@ -128,6 +143,7 @@ class NelderMeadConfig:
     iter_max: int = 100
     theta_high_init: float = 3.0
     theta_low_init: float = 1e-8
+    verbose: bool = False
     ileqg: ILEQGConfig = ILEQGConfig()
 
 

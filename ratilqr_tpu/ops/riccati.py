@@ -226,10 +226,17 @@ def _pallas_eligible(axis_size: int, dtype) -> bool:
         # kernel has no f64 lowering; fall back to the scan path loudly
         # eligible-checked rather than crash inside the kernel.
         return dtype == jnp.float32
+    # Default threshold 1: ANY vmapped f32 bank on TPU takes the kernel.
+    # The kernel pads lanes to one (8, 128) tile, so a 6-lane bank costs
+    # the same as a 1024-lane one — and even fully padded it beats the
+    # vmapped-scan fallback by ~2 orders of magnitude (measured round 3:
+    # the 6-lane Nelder-Mead candidate bank re-plan fell 363 ms → 160 ms
+    # p50, a single warm 6-lane bank solve 99 ms → 33 ms; the old 256
+    # threshold was tuned on throughput banks where it never binds).
     return (jax.default_backend() in ("tpu", "axon")
             and dtype == jnp.float32
             and axis_size >= int(_os.environ.get(
-                "RATILQR_PALLAS_MIN_LANES", "256")))
+                "RATILQR_PALLAS_MIN_LANES", "1")))
 
 
 _W_FIELDS = ("W", "W_inv", "logdet_W")

@@ -349,6 +349,24 @@ def solve_value(problem: RiskSensitiveProblem, config: ILEQGConfig,
     return solve(problem, config, x0, u_init, theta).value
 
 
+def solve_via_bank(problem: RiskSensitiveProblem, config: ILEQGConfig,
+                   x0: Array, u_init: Array, theta) -> ILEQGResult:
+    """Single solve routed through a 1-lane vmapped bank.
+
+    Semantically identical to :func:`solve`, but the vmap fires the Riccati
+    bank dispatch (``ops/riccati.py``), so on TPU the DP passes take the
+    fused Pallas kernel instead of the per-step scan — measured 99 ms vs
+    33 ms for one warm unicycle T=30 solve (round 3).  This is the right
+    call for every *single-θ* solve inside a latency-sensitive path: the
+    bilevel solvers' final re-solves and the host NM per-vertex worker.
+    Works both inside jit (the bilevel jit programs) and at the top level.
+    """
+    theta = jnp.asarray(theta, x0.dtype)
+    res = jax.vmap(lambda th: solve(problem, config, x0, u_init, th))(
+        theta[None])
+    return jax.tree_util.tree_map(lambda a: a[0], res)
+
+
 # Public aliases mirroring the reference's exported solver internals
 # (src/RATiLQR.jl:28-41 exports initialize!, step!, line_search! alongside
 # solve!): the underscore-prefixed functions are the implementation names.

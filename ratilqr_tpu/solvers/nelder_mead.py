@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ratilqr_tpu.config import NelderMeadConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
+from ratilqr_tpu.solvers.ileqg import solve_via_bank
 
 Array = jnp.ndarray
 
@@ -79,11 +80,19 @@ def _make_cost(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     """Single-θ outer objective ``ileqg_value(θ) + kl_bound/θ`` with
     failure→Inf masking (``compute_cost_worker``, ref :134-158)."""
 
+    # Route each vertex evaluation through a 1-lane bank: the vmap fires
+    # the Riccati bank dispatch, so TPU runs take the fused Pallas kernel
+    # (measured ~3x faster per solve than the unbatched scan path); the
+    # lru-cached bank builder reuses one compiled executable across the
+    # whole NM search and across MPC re-plans.
+    from ratilqr_tpu.solvers.ileqg import make_batched_solver
+    bank = make_batched_solver(problem, config.ileqg)
+
     def cost(theta: float) -> float:
-        res = ileqg_solve(problem, config.ileqg, x0, u_init, theta)
+        res = bank(x0, u_init, jnp.asarray([theta], x0.dtype))
         # One combined fetch: each device round trip costs ~27 ms on the
         # tunneled backend and this is the host path's per-vertex unit.
-        failed, value = jax.device_get((res.failed, res.value))
+        failed, value = jax.device_get((res.failed[0], res.value[0]))
         v = float(value) + kl_bound / theta
         if bool(failed) or math.isnan(v):
             return math.inf
@@ -158,6 +167,7 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     """
     if kl_bound < 0:
         raise ValueError("KL divergence bound must be non-negative")
+    verbose = verbose or config.verbose
     # initialize! (ref :164-168): reset θ from inits; c values persist.
     state = state._replace(iter_current=0,
                            theta_low=state.theta_low_init,
@@ -207,7 +217,9 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     else:
         theta_opt = 0.0
 
-    res = ileqg_solve(problem, config.ileqg, x0, u_init, theta_opt)
+    # Final re-solve via a 1-lane bank (Pallas DP on TPU, ~3x faster than
+    # the unbatched scan path); no retry loop — reference parity (:334-346).
+    res = solve_via_bank(problem, config.ileqg, x0, u_init, theta_opt)
     value = res.value + (kl_bound / theta_opt if kl_bound > 0 else 0.0)
     return NMResult(theta_opt=jnp.asarray(theta_opt, x0.dtype), x=res.x,
                     l=res.l, L=res.L, value=value, state=state)

@@ -45,6 +45,7 @@ from jax import lax
 from ratilqr_tpu.config import NelderMeadConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
+from ratilqr_tpu.solvers.ileqg import solve_via_bank
 from ratilqr_tpu.solvers.nelder_mead import (NMResult, NMState,
                                              _MAX_BOOTSTRAP, init_state)
 
@@ -149,6 +150,17 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         stdev = jnp.sqrt(0.5 * ((c_hi - c_mean) ** 2
                                 + (c_lo - c_mean) ** 2))
         done = (stdev < config.eps) | (it >= config.iter_max)
+        if config.verbose:
+            # Per-iteration simplex trace mirroring the reference's verbose
+            # prints (ref :181-249); decision = which replay branch fired.
+            jax.debug.print(
+                "**NM iter {i}: reflect (th_r, c_r)=({tr:.4g}, {cr:.4g}) "
+                "expand={e} keep_r={k} shrink={s} -> simplex "
+                "(th_lo, c_lo)=({tl:.4g}, {cl:.4g}) "
+                "(th_hi, c_hi)=({th:.4g}, {ch:.4g}) stdev={sd:.4g}",
+                i=it, tr=th_r, cr=c_r, e=expand, k=keep_r,
+                s=~expand & shrink, tl=th_lo, cl=c_lo, th=th_hi, ch=c_hi,
+                sd=stdev)
         return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done)
 
     def run_nm(_):
@@ -183,8 +195,10 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
      it) = lax.cond(kl_bound > 0, run_nm, skip_nm, None)
 
     # Final re-solve at θ_opt — deliberately NO retry loop, matching the
-    # reference (ref :334-346; unlike RAT iLQR's backoff).
-    res = ileqg_solve(problem, config.ileqg, x0, u_init, theta_opt)
+    # reference (ref :334-346; unlike RAT iLQR's backoff).  Routed through
+    # a 1-lane bank so the DP passes take the Pallas kernel on TPU
+    # (solve_via_bank: measured ~3x faster than the unbatched scan path).
+    res = solve_via_bank(problem, config.ileqg, x0, u_init, theta_opt)
     value = jnp.where(kl_bound > 0, res.value + kl_bound / theta_opt,
                       res.value)
     new_state = NMState(theta_high_init=hi_init, theta_low_init=lo_init,

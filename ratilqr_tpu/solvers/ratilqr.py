@@ -30,7 +30,8 @@ import numpy as np
 
 from ratilqr_tpu.config import CrossEntropyConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
-from ratilqr_tpu.solvers.ileqg import ILEQGResult, make_batched_solver
+from ratilqr_tpu.solvers.ileqg import (ILEQGResult, make_batched_solver,
+                                       solve_via_bank)
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
 
 Array = jnp.ndarray
@@ -232,6 +233,7 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
     """
     if kl_bound < 0:
         raise ValueError("KL divergence bound must be non-negative")
+    verbose = verbose or config.verbose
     dtype = x0.dtype
     # initialize! (ref :133-138): reset (μ, σ) from warm-started inits.
     state = state._replace(
@@ -251,8 +253,9 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
 
     sigma = float(state.sigma)
     for _ in range(_MAX_FINAL_RETRIES):
-        res: ILEQGResult = ileqg_solve(problem, config.ileqg, x0, u_init,
-                                       theta_opt)
+        # 1-lane bank → Pallas DP on TPU (~3x vs the unbatched scan path).
+        res: ILEQGResult = solve_via_bank(problem, config.ileqg, x0,
+                                          u_init, theta_opt)
         if not bool(res.failed):
             if kl_bound > 0:
                 # θ_opt can reach exactly 0 via the backoff (or θ_max with

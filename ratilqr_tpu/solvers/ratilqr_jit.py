@@ -29,6 +29,7 @@ from jax import lax
 from ratilqr_tpu.config import CrossEntropyConfig
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.solvers.ileqg import solve as ileqg_solve
+from ratilqr_tpu.solvers.ileqg import solve_via_bank
 from ratilqr_tpu.solvers.ratilqr import (CEState, RATiLQRResult,
                                          get_positive_samples)
 
@@ -127,10 +128,22 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         (tmin, tmax), _ = lax.scan(track, (tmin, tmax), (thetas, costs))
 
         # Elite refit with the ML (biased) σ estimator (ref :326-334).
+        # Tie-breaking parity: lax.top_k documents lower-index-first order
+        # for equal values — the same elite set as the host path's stable
+        # argsort (ratilqr.py step(); ref sort at :327-329).  Pinned by
+        # tests/test_bilevel.py::test_elite_tie_break_matches_host.
         neg_costs, idx = lax.top_k(-costs, ne)
         elite = thetas[idx]
         mu_new = jnp.sum(elite) / ne
         sigma_new = jnp.sqrt(jnp.sum((elite - mu_new) ** 2) / ne)
+        if config.verbose:
+            # Per-generation trace mirroring the reference's verbose prints
+            # (ref :260-309), emitted from inside the compiled program.
+            jax.debug.print(
+                "**CE gen {i}: {v}/{n} valid, best_cost={b:.4g} "
+                "mu={m:.4g} sigma={s:.4g}",
+                i=it, v=jnp.sum(jnp.isfinite(costs)), n=ns,
+                b=-neg_costs[0], m=mu_new, s=sigma_new)
         return (it, key, mu_init, sigma_init, mu_new, sigma_new, tmin, tmax,
                 exhausted)
 
@@ -161,7 +174,9 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
 
     # Final full re-solve with θ-backoff on neurotic breakdown (ref
     # :390-414): bounded while_loop carrying the full result pytree.
-    res0 = ileqg_solve(problem, config.ileqg, x0, u_init, theta_opt)
+    # Routed through a 1-lane bank → Pallas DP kernel on TPU
+    # (solve_via_bank, ~3x faster than the unbatched scan path).
+    res0 = solve_via_bank(problem, config.ileqg, x0, u_init, theta_opt)
 
     def retry_cond(carry):
         k, th, res = carry
@@ -175,7 +190,7 @@ def solve(problem: RiskSensitiveProblem, config: CrossEntropyConfig,
         # collapsed σ == 0 the decrement alone never would).
         th = jnp.where(k + 1 >= _MAX_FINAL_RETRIES,
                        jnp.asarray(0.0, dtype), th)
-        res = ileqg_solve(problem, config.ileqg, x0, u_init, th)
+        res = solve_via_bank(problem, config.ileqg, x0, u_init, th)
         return (k + 1, th, res)
 
     _, theta_opt, res = lax.while_loop(
