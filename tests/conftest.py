@@ -28,6 +28,67 @@ jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
+# --- fast/slow test tiers (VERDICT r2 item 5) ------------------------------
+# The full suite compiles hundreds of XLA programs and takes ~25 min on CPU;
+# CI runs the fast tier (-m "not slow") on pull requests and the full suite
+# on pushes to main.  Slow markers are centralized here (measured from
+# `--durations`, cutoff ~13 s per test) instead of scattered across files.
+
+SLOW_MODULES = {
+    "test_parity_fuzz",              # random-problem oracle/NM fuzzing
+    "test_riccati_parallel",         # associative-scan experimental backend
+    "test_distributed_multiprocess", # spawns a second jax.distributed proc
+    "test_oracle_bilevel",           # eager outer-loop oracles, many solves
+}
+SLOW_TESTS = {
+    "test_models_dims.py::test_pallas_kernel_at_dimension[quadrotor]",
+    "test_models_dims.py::test_solver_stack_at_dimension[quadrotor]",
+    "test_parity_oracle.py::test_solver_matches_oracle[unicycle]",
+    "test_ratilqr_jit.py::test_fleet_vmap_over_full_solve",
+    "test_ratilqr_jit.py::test_jit_kl_zero_matches_ilqg",
+    "test_ratilqr_jit.py::test_jit_matches_host_path_same_key",
+    "test_ratilqr_jit.py::test_jit_solve_end_to_end",
+    "test_mpc_episode.py::test_episode_plan_state_checkpoint_roundtrip",
+    "test_mpc_episode.py::test_episode_matches_host_loop_ratilqr_jit",
+    "test_mpc_episode.py::test_nm_episode_runs_and_threads_state",
+    "test_pallas.py::test_custom_vmap_dispatch_full_solve",
+    "test_pallas.py::test_kernel_matches_scan_optimizing",
+    "test_bilevel.py::test_nelder_mead_jit_fleet_vmap",
+    "test_bilevel.py::test_nelder_mead_jit_warm_start_parity",
+    "test_bilevel.py::test_host_path_decodes_jit_nan_state",
+    "test_bilevel.py::test_nelder_mead_jit_kl_zero_preserves_missing_c",
+    "test_line_search_chunk.py::test_chunk_exceeding_trial_budget_respects_cap",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.0-unicycle]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.01-unicycle]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.0-unicycle]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.01-unicycle]",
+    "test_failure_paths.py::test_jit_ce_redraw_budget_sets_flag",
+    "test_failure_paths.py::test_jit_nm_bootstrap_budget_terminates",
+    "test_docs.py::test_getting_started_blocks_execute",
+    "test_parallel.py::test_sharded_theta_bank_matches_unsharded",
+    "test_parallel.py::test_sharded_fleet_matches_unsharded",
+    "test_bilevel.py::test_verbose_jit_bilevel_solves_compile",
+    "test_bilevel.py::test_nelder_mead_jit_matches_host",
+    "test_models_dims.py::test_pallas_kernel_at_dimension[cartpole]",
+    "test_ratilqr_jit.py::test_kl_zero_returns_reference_theta_range",
+    "test_ratilqr_jit.py::test_jit_feasibility_redraw_shrinks_inits",
+    "test_ratilqr_jit.py::test_unsolvable_problem_surfaces_final_failure",
+    "test_mpc.py::test_info_field_carries_theta_opt",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.0-toy]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.01-toy]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.0-toy]",
+    "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.01-toy]",
+    "test_pallas.py::test_kernel_shared_noise_model_matches_batched",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        short_id = f"{mod}.py::{item.name}"
+        if mod in SLOW_MODULES or short_id in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _release_compiled_executables_between_modules():
