@@ -149,12 +149,21 @@ class NelderMeadConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PETSConfig:
-    """PETS (CEM-over-control-sequences) parameters (``pets.jl:35-68``)."""
+    """PETS (CEM-over-control-sequences) parameters (``pets.jl:35-68``).
+
+    ``scan_unroll`` fuses that many rollout time steps per scan round —
+    each PETS step is a tiny elementwise+PRNG kernel whose fixed
+    per-step sequencing overhead dominates the rollout-grid device time
+    (docs/performance.md "PETS roofline"), so unrolling is a pure perf
+    knob (results bit-identical).  TPU benchmark configs use ~10; keep 1
+    on CPU.
+    """
     num_control_samples: int = 10
     num_trajectory_samples: int = 10
     num_elite: int = 3
     iter_max: int = 5
     smoothing_factor: float = 0.1
+    scan_unroll: int = 1
 
     def __post_init__(self):
         _check(0.0 <= self.smoothing_factor <= 1.0,

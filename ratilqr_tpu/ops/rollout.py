@@ -178,15 +178,19 @@ def integrate_cost(problem, x_traj: Array, u_traj: Array) -> Array:
 
 
 def rollout_generative(problem: GenerativeProblem, x0: Array, u_traj: Array,
-                       key: Array, use_true_model: bool = False
-                       ) -> Tuple[Array, Array]:
+                       key: Array, use_true_model: bool = False,
+                       unroll: int = 1) -> Tuple[Array, Array]:
     """Single stochastic rollout of a generative problem, fused with cost
     accumulation.
 
     Counterpart of the inner loop of PETS' ``compute_cost_worker``
     (``pets.jl:84-97``): steps ``x_{t+1} = f_stochastic(x_t, u_t, key_t)``,
     accumulating ``Σ c(t, x_t, u_t)``; returns ``(x_traj (N+1, n), total
-    cost incl. terminal)``.  ``use_true_model`` is static.
+    cost incl. terminal)``.  ``use_true_model`` is static.  ``unroll``
+    fuses that many time steps per scan round — under a PETS rollout grid
+    each step is a tiny elementwise+PRNG kernel whose fixed sequencing
+    overhead dominates, so unrolling is a pure-perf knob (bit-identical
+    results; see ``PETSConfig.scan_unroll``).
     """
     N = u_traj.shape[0]
     keys = jax.random.split(key, N)
@@ -203,6 +207,7 @@ def rollout_generative(problem: GenerativeProblem, x0: Array, u_traj: Array,
     # carry would fail the varying-axes type check).
     cost0 = jnp.sum(x0 * 0)
     (x_N, cost), xs = lax.scan(
-        step, (x0, cost0), (_time_indices(N), u_traj, keys))
+        step, (x0, cost0), (_time_indices(N), u_traj, keys),
+        unroll=unroll)
     cost = cost + problem.h(x_N)
     return jnp.concatenate([x0[None], xs], axis=0), cost

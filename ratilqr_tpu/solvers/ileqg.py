@@ -31,7 +31,9 @@ from jax import lax
 from ratilqr_tpu.config import ILEQGConfig
 from ratilqr_tpu.ops.approx import approximate_model
 from ratilqr_tpu.ops.riccati import dp_evaluate, dp_optimize
-from ratilqr_tpu.ops.rollout import (rollout_feedback_with_jac,
+from ratilqr_tpu.ops.rollout import (rollout_feedback,
+                                     rollout_feedback_with_jac,
+                                     rollout_open_loop,
                                      rollout_open_loop_with_jac)
 from ratilqr_tpu.problems import RiskSensitiveProblem
 from ratilqr_tpu.utils.numerics import isapprox, max_control_deviation
@@ -58,11 +60,27 @@ class ILEQGResult(NamedTuple):
 
 
 class _State(NamedTuple):
-    x: Array
+    """Outer-iteration carry — deliberately SLIM.
+
+    Under ``vmap`` the outer ``lax.while_loop`` where-selects every carry
+    leaf on every round (loop mask + step commit + line-search commit ≈ 3
+    full sweeps), so carried bytes are the dominant HBM tax at large bank
+    sizes (the B≥131k throughput regression, BASELINE.md).  The nominal
+    trajectory ``x`` and the Jacobian caches ``A``/``B`` are therefore NOT
+    carried: the committed closed-loop trajectory satisfies
+    ``x_{t+1} = f(x_t, l_t)`` with the committed ``l`` (the realized
+    controls), so one open-loop rollout from ``(x0, l)`` at the top of each
+    step re-derives them bit-identically — same inputs through the same
+    ``f``/``f_jac`` ops.  ``L`` stays carried: the returned gains are the
+    ones the last ``step!`` computed from its PRE-line-search trajectory
+    (``ileqg.jl:604-609``), which cannot be recomputed from the post-search
+    state.  Dropping (x, A, B) cuts the swept state from ~2,600 to ~800
+    floats/lane (unicycle T=100) for the cost of one extra rollout+jac per
+    round — the select sweeps it replaces were measured ~3x dearer
+    (docs/performance.md "carry-select trap").
+    """
     l: Array
     L: Array
-    A: Array             # cached dynamics Jacobians for the nominal traj
-    B: Array
     value: Array
     mu: Array
     delta: Array
@@ -99,16 +117,16 @@ def _push_hist(hist: Array, count: Array, valid: Array, eps: Array,
 
 
 def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
-                 state: _State, dl: Array, theta: Array):
+                 state: _State, x_ref: Array, dl: Array, theta: Array):
     """Backtracking line search (``ileqg.jl:494-592``).
 
-    Candidate ``l + ε·dl`` is rolled out closed-loop under the frozen gains,
-    fully re-approximated, and evaluated with the policy-evaluating DP; a DP
-    failure (non-PSD M, the reference's catch at ``ileqg.jl:529-535``)
-    shrinks ε and retries without recording history.  Acceptance rule:
-    ``value_new ≈ value_current || value_new < value_current``
-    (``ileqg.jl:538``); below ``eps_min`` the candidate is accepted
-    unconditionally (``ileqg.jl:558-575``).
+    Candidate ``l + ε·dl`` is rolled out closed-loop under the frozen gains
+    around the nominal ``x_ref``, fully re-approximated, and evaluated with
+    the policy-evaluating DP; a DP failure (non-PSD M, the reference's
+    catch at ``ileqg.jl:529-535``) shrinks ε and retries without recording
+    history.  Acceptance rule: ``value_new ≈ value_current || value_new <
+    value_current`` (``ileqg.jl:538``); below ``eps_min`` the candidate is
+    accepted unconditionally (``ileqg.jl:558-575``).
     """
     dtype = state.value.dtype
     lam = jnp.asarray(config.lam, dtype)
@@ -127,7 +145,7 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         """
         l_cand = state.l + eps * dl
         x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
-            problem, state.x, l_cand, state.L, unroll=config.scan_unroll)
+            problem, x_ref, l_cand, state.L, unroll=config.scan_unroll)
         approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
         value_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
                                       mu=state.mu, unroll=config.scan_unroll,
@@ -212,14 +230,16 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
     (eps, count, accepted, eps_acc, value_c, hist,
      hist_n) = lax.while_loop(cond, body, init)
 
-    # Re-materialize the accepted candidate's trajectory: identical inputs
-    # through the identical ops as its in-loop evaluation, so this is the
-    # same result without ever threading (T, ·) stacks through the loop.
+    # Re-materialize the accepted candidate's realized controls: identical
+    # inputs through the identical ops as its in-loop evaluation, so this
+    # is the same result without ever threading (T, ·) stacks through the
+    # loop.  Only ``u_n`` is committed — the trajectory and Jacobians are
+    # re-derived from it at the top of the next step (slim carry, see
+    # ``_State``), so the plain (jac-free) feedback rollout suffices.
     # For lanes that accepted nothing (failed), eps_acc is 0 and the
     # selects below keep the pre-search state.
     l_acc = state.l + eps_acc * dl
-    x_n, u_n, A_n, B_n = rollout_feedback_with_jac(
-        problem, state.x, l_acc, state.L, unroll=config.scan_unroll)
+    _, u_n = rollout_feedback(problem, x_ref, l_acc, state.L)
     d_n = max_control_deviation(state.l, u_n)
     sel = lambda new, old: jnp.where(accepted, new, old)
 
@@ -241,26 +261,30 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         eps_init_next = state.eps_init_cur
 
     return state._replace(
-        x=sel(x_n, state.x), l=sel(u_n, state.l), A=sel(A_n, state.A),
-        B=sel(B_n, state.B), value=value_c,
+        l=sel(u_n, state.l), value=value_c,
         d_current=sel(d_n, state.d_current),
         eps_hist=hist, eps_count=hist_n, eps_init_cur=eps_init_next,
         failed=state.failed | ~accepted)
 
 
 def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
-          theta: Array) -> _State:
+          theta: Array, x0: Array) -> _State:
     """One iLEQG iteration: approximate → optimizing DP → line search
     (``ileqg.jl:598-613``).
 
-    The re-approximation here duplicates the accepted line-search
-    candidate's AD pass bit-for-bit; carrying that stack through the
-    while-loop instead was measured SLOWER on the TPU runtime (the
-    ~50 MB Approximation pytree crossing two nested while-loop carry
-    boundaries every round costs more than recomputing it: warm bank
-    throughput halved, 30k→15k solves/s).  Keep the recompute.
+    The nominal trajectory and Jacobian caches are re-derived from the
+    committed controls by one open-loop rollout (bit-identical to the
+    line search's closed-loop commit — see ``_State``), and the
+    re-approximation duplicates the accepted line-search candidate's AD
+    pass bit-for-bit; carrying either stack through the while-loop instead
+    was measured SLOWER on the TPU runtime (the ~50 MB Approximation
+    pytree crossing two nested while-loop carry boundaries every round
+    costs more than recomputing it: warm bank throughput halved,
+    30k→15k solves/s).  Keep the recomputes.
     """
-    approx = approximate_model(problem, state.l, state.x, state.A, state.B)
+    x, A, B = rollout_open_loop_with_jac(problem, x0, state.l,
+                                         unroll=config.scan_unroll)
+    approx = approximate_model(problem, state.l, x, A, B)
     _, L_new, dl, mu, delta, fail_opt = dp_optimize(
         approx, theta=theta, mu=state.mu, delta=state.delta,
         mu_min=config.mu_min, delta_0=config.delta_0,
@@ -268,7 +292,7 @@ def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
     state = state._replace(L=L_new, mu=mu, delta=delta,
                            iterations=state.iterations + 1,
                            failed=state.failed | fail_opt)
-    ls_state = _line_search(problem, config, state, dl, theta)
+    ls_state = _line_search(problem, config, state, x, dl, theta)
     # If the optimizing DP already failed, the line search result is garbage;
     # keep the failure latched (value forced to Inf at the end of solve()).
     return jax.tree_util.tree_map(
@@ -290,8 +314,10 @@ def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
     value0, fail = dp_evaluate(approx, L, None, theta=theta,
                                mu=jnp.zeros((), dtype),
                                unroll=config.scan_unroll, slim=True)
+    # (x, A, B) are not carried — _step re-derives them bit-identically
+    # from (x0, l); see the _State docstring.
     return _State(
-        x=x, l=u_init, L=L, A=A, B=B, value=value0,
+        l=u_init, L=L, value=value0,
         mu=jnp.zeros((), dtype), delta=jnp.asarray(config.delta_0, dtype),
         d_current=jnp.asarray(jnp.inf, dtype),
         eps_init_cur=jnp.asarray(config.eps_init, dtype),
@@ -322,7 +348,7 @@ def solve(problem: RiskSensitiveProblem, config: ILEQGConfig, x0: Array,
         return ~s.done
 
     def body(s: _State):
-        s = _step(problem, config, s, theta)
+        s = _step(problem, config, s, theta, x0)
         converged = (s.d_current < config.d_tol) & (s.mu <= config.mu_min)
         done = converged | (s.iterations >= config.iter_max) | s.failed
         if config.verbose:
@@ -335,8 +361,12 @@ def solve(problem: RiskSensitiveProblem, config: ILEQGConfig, x0: Array,
     state = lax.while_loop(cond, body, state)
     value = jnp.where(state.failed, jnp.asarray(jnp.inf, x0.dtype),
                       state.value)
+    # Re-materialize the nominal trajectory from the committed controls
+    # (bit-identical: x_{t+1} = f(x_t, l_t) — see _State); the slim carry
+    # never threads it through the loop.
+    x_final = rollout_open_loop(problem, x0, state.l)
     return ILEQGResult(
-        x=state.x, l=state.l, L=state.L, value=value,
+        x=x_final, l=state.l, L=state.L, value=value,
         eps_history=state.eps_hist, eps_count=state.eps_count,
         iterations=state.iterations, d_final=state.d_current,
         mu_final=state.mu, failed=state.failed)

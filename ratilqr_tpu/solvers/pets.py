@@ -75,7 +75,8 @@ def compute_cost(problem: GenerativeProblem, config: PETSConfig, x0: Array,
     keys = jax.random.split(key, (K, T))
 
     def one_rollout(u_seq, k):
-        return rollout_generative(problem, x0, u_seq, k, use_true_model)[1]
+        return rollout_generative(problem, x0, u_seq, k, use_true_model,
+                                  unroll=config.scan_unroll)[1]
 
     def one_sequence(u_seq, ks):
         return jnp.mean(jax.vmap(lambda k: one_rollout(u_seq, k))(ks))

@@ -25,8 +25,10 @@ def test_initialize_postconditions():
     assert np.isinf(float(st.d_current))
     assert int(st.iterations) == 0 and int(st.eps_count) == 0
 
+    # The slim carry does not thread the trajectory (it is re-derived from
+    # (x0, l) each step); the initialize-time value must still equal the
+    # evaluating-DP value along the nominal rollout.
     x = rollout_open_loop(prob, x0, u)
-    np.testing.assert_allclose(np.asarray(st.x), np.asarray(x))
     ap = approximate_model(prob, u, x)
     dp, _ = dp_evaluate(ap, jnp.zeros((10, 2, 2)), None, theta=0.0, mu=0.0)
     np.testing.assert_allclose(float(st.value), float(dp.value), rtol=1e-12)
