@@ -128,14 +128,21 @@ def bench_nm_mpc(T=30, steps=10):
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
     out = {}
-    for cfg_tag, adaptive in (("", False), ("_adaptive", True)):
+    # cfg_tag → (adaptive ε, refresh_carried_costs).  ``_refresh`` is the
+    # opt-in fix for the reference's stale-carried-cost quirk (see
+    # NelderMeadConfig.refresh_carried_costs): warm re-plans converge in
+    # single-digit NM iterations instead of burning iter_max=100.
+    for cfg_tag, (adaptive, refresh) in (
+            ("", (False, False)), ("_adaptive", (True, False)),
+            ("_refresh", (False, True))):
         config = NelderMeadConfig(
             theta_high_init=0.02, theta_low_init=1e-8,
+            refresh_carried_costs=refresh,
             ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
                               adaptive_eps_init=adaptive,
                               eps_history_cap=0 if adaptive else 256))
         variants = [("nm_jit", nelder_mead_jit.solve)]
-        if not adaptive:  # host-orchestrated path: fixed-ε config only
+        if cfg_tag == "":  # host-orchestrated path: reference config only
             variants.insert(0, ("nm", nelder_mead.solve))
         for tag, solve_fn in variants:
             class Plan:

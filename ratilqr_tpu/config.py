@@ -134,6 +134,23 @@ class NelderMeadConfig:
     verbose-gated prints, ``nelder_mead_bilevel_optimization.jl:181-249``)
     — host path via ``print``, fully-jitted path via ``jax.debug.print``;
     static, so disabled verbosity costs nothing.
+
+    ``refresh_carried_costs`` opts out of the reference's cross-solve
+    c-persistence quirk: ``solve!`` re-computes the simplex vertex costs
+    only under ``isnothing`` (``nelder_mead_bilevel_optimization.jl:283,
+    294``), so on every warm MPC re-plan a stale ``c_low`` from the
+    PREVIOUS state sits on the simplex.  Fresh costs at the new state can
+    never close the gap to it, the vertex-cost-stdev convergence test
+    (ref :306-317) never fires, and the solver burns all ``iter_max``
+    iterations per re-plan (measured: 100/100 on every warm step,
+    docs/performance.md "RAT iLQR++ re-plan latency").  With ``True`` the
+    carried vertex costs are discarded and re-evaluated at the incoming
+    ``(x0, u_init)`` via the standard feasibility bootstrap (the simplex θ
+    vertices are already reset to the carried inits by ``initialize!``,
+    ref :164-168), restoring the convergence test — warm re-plans converge
+    in single-digit iterations and RAT iLQR++ regains its "faster than RAT
+    iLQR" headline property (reference ``README.md:15``).  Default
+    ``False`` for decision-for-decision reference parity.
     """
     alpha: float = 1.0    # reflection
     beta: float = 2.0     # expansion
@@ -143,6 +160,7 @@ class NelderMeadConfig:
     iter_max: int = 100
     theta_high_init: float = 3.0
     theta_low_init: float = 1e-8
+    refresh_carried_costs: bool = False
     verbose: bool = False
     ileqg: ILEQGConfig = ILEQGConfig()
 

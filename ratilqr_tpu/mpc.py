@@ -99,9 +99,12 @@ class MPCDriver:
             key, k_plan, k_sim = jax.random.split(key, 3)
             t0 = time.perf_counter()
             res = self.plan(x, u_warm, k_plan)
-            # Fetch (not block_until_ready — a no-op on the tunneled TPU
-            # backend) so plan_time_s measures real completion.
-            float(jnp.asarray(res.value).ravel()[0])
+            # Fetch ALL policy outputs (not block_until_ready — a no-op on
+            # the tunneled TPU backend) in ONE combined device_get so
+            # plan_time_s covers the full end-to-end re-plan: on the async
+            # runtime the x/l/L transfers land after the scalar value, and
+            # the controller cannot act before it has them.
+            jax.device_get((res.x, res.l, res.L, res.value))
             dt = time.perf_counter() - t0
             u = affine_policy_control(x, res.x, res.l, res.L)
             steps.append(MPCStep(x=x, u=u, value=res.value, plan_time_s=dt,

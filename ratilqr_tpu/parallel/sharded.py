@@ -52,7 +52,14 @@ def make_sharded_theta_cost_fn(problem: RiskSensitiveProblem,
         thetas = lax.with_sharding_constraint(thetas, shard)
         res = jax.vmap(lambda th: ileqg_solve(problem, config.ileqg, x0,
                                               u_init, th))(thetas)
-        return res.value + kl_bound / thetas
+        cost = res.value + kl_bound / thetas
+        # NaN objective = failed solve -> Inf, identical to
+        # ratilqr.make_cost_fn (the Inf-masking contract the reference pins
+        # at cross_entropy_bilevel_optimization.jl:161-166).  Without it a
+        # NaN lane diverges from the unsharded bank: top_k(-c) sorts NaN
+        # FIRST, poisoning the elite refit.
+        return jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, cost.dtype),
+                         cost)
 
     return cost_fn
 

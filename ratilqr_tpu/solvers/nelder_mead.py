@@ -175,6 +175,16 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     cost = _make_cost(problem, config, x0, u_init, kl_bound)
 
     if kl_bound > 0:
+        if config.refresh_carried_costs:
+            # Opt-out of the reference's cross-solve c-persistence quirk
+            # (ref :283,294 — see NelderMeadConfig.refresh_carried_costs):
+            # drop the carried vertex costs so the feasibility bootstrap
+            # below re-evaluates both simplex vertices (already reset to
+            # the carried θ inits) at the INCOMING (x0, u_init); its first
+            # rung IS the carried θ, so a still-feasible vertex costs one
+            # evaluation and an infeasible one falls into the θ-halving
+            # ladder exactly as a fresh solve would.
+            state = state._replace(c_high=None, c_low=None)
         # Feasibility bootstrap (ref :283-304).  The reference's loop is
         # unbounded and hangs on a problem that fails at EVERY θ (e.g. NaN
         # dynamics); bounded here — like the CE redraw loop — with the

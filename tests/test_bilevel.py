@@ -223,6 +223,59 @@ def test_nelder_mead_jit_fleet_vmap():
                                    rtol=1e-9)
 
 
+def test_nm_refresh_mode_converges_warm():
+    """``refresh_carried_costs=True`` restores the vertex-cost-stdev
+    convergence test on warm re-plans (VERDICT r3 item 1): the default
+    reference-parity mode carries a stale ``c_low`` from the previous
+    state (the ``isnothing`` quirk, nm….jl:283,294) that fresh costs at
+    the new state can never match, so it burns ``iter_max`` iterations."""
+    import dataclasses
+
+    prob, x0, u0 = _fixture()
+    base = NelderMeadConfig()
+    refresh = dataclasses.replace(base, refresh_carried_costs=True)
+    x1 = x0 + 0.3
+
+    r1 = nelder_mead.solve(prob, base, nelder_mead.init_state(base),
+                           x0, u0, kl_bound=KL_BOUND)
+    r2 = nelder_mead.solve(prob, base, r1.state, x1, u0, kl_bound=KL_BOUND)
+    s1 = nelder_mead.solve(prob, refresh, nelder_mead.init_state(refresh),
+                           x0, u0, kl_bound=KL_BOUND)
+    s2 = nelder_mead.solve(prob, refresh, s1.state, x1, u0,
+                           kl_bound=KL_BOUND)
+
+    assert np.isfinite(float(s2.value))
+    assert int(s2.state.iter_current) < 10          # converged warm
+    # Reference parity mode stalls on the stale carried cost.
+    assert int(r2.state.iter_current) == base.iter_max
+    # Both modes run the identical fresh solve (nothing carried yet).
+    np.testing.assert_allclose(float(s1.theta_opt), float(r1.theta_opt),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(s1.value), float(r1.value), rtol=1e-12)
+
+
+def test_nm_jit_refresh_matches_host():
+    """Jit ≡ host decision parity holds in refresh mode too (warm chain)."""
+    from ratilqr_tpu.solvers import nelder_mead_jit
+
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig(refresh_carried_costs=True)
+    rh1 = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                            x0, u0, kl_bound=KL_BOUND)
+    rj1 = nelder_mead_jit.solve(prob, config, nelder_mead.init_state(config),
+                                x0, u0, kl_bound=KL_BOUND)
+    x1 = x0 + 0.3
+    rh2 = nelder_mead.solve(prob, config, rh1.state, x1, u0,
+                            kl_bound=KL_BOUND)
+    rj2 = nelder_mead_jit.solve(prob, config, rj1.state, x1, u0,
+                                kl_bound=KL_BOUND)
+    np.testing.assert_allclose(float(rj2.theta_opt), float(rh2.theta_opt),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(rj2.value), float(rh2.value), rtol=1e-9)
+    _nm_state_allclose(rj2.state, rh2.state)
+    assert int(rj2.state.iter_current) < 10
+
+
 def test_host_path_decodes_jit_nan_state():
     """A kl_bound == 0 jit solve round-trips fresh state as concrete-NaN
     c_high/c_low; the host path must decode that as "missing" and run the

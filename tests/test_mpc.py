@@ -98,6 +98,36 @@ def test_info_field_carries_theta_opt():
         assert s.info is not None and float(s.info) > 0  # θ_opt
 
 
+def test_plan_stamp_covers_full_result_fetch(monkeypatch):
+    """``plan_time_s`` is stamped only after ALL policy outputs — x, l, L
+    and value — land on the host in ONE combined ``device_get`` (VERDICT
+    r3 item 8: fetching only ``value`` undercounts end-to-end re-plan
+    latency on the async runtime, where the array transfers land later)."""
+    import ratilqr_tpu.mpc as mpc_mod
+
+    prob = lqr_problem(N=5, noise=1e-4)
+    cfg = ILEQGConfig()
+    fetched = []
+    real_get = jax.device_get
+
+    def spy(tree):
+        fetched.append(tree)
+        return real_get(tree)
+
+    monkeypatch.setattr(mpc_mod.jax, "device_get", spy)
+    driver = MPCDriver(problem=prob,
+                       plan=lambda x, u, key: ileqg_solve(prob, cfg, x, u,
+                                                          0.0))
+    driver.run(jnp.array([1.0, 1.0], jnp.float64),
+               jnp.zeros((5, 2), jnp.float64), jax.random.key(0),
+               num_steps=1)
+    # One combined fetch per step, containing the full policy.
+    assert len(fetched) == 1
+    x, l, L, value = fetched[0]
+    assert x.shape == (6, 2) and l.shape == (5, 2)
+    assert L.shape == (5, 2, 2) and value.shape == ()
+
+
 def test_plan_latency_accounting():
     """``plan_time_s`` measures the plan call including result fetch — a
     deliberately slow planner must show up in the record."""

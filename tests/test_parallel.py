@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ratilqr_tpu import CrossEntropyConfig, PETSConfig
+from ratilqr_tpu import CrossEntropyConfig, ILEQGConfig, PETSConfig
 from ratilqr_tpu.models import nonlinear_toy
 from ratilqr_tpu.parallel import (compute_cost_shard_map, make_mesh,
                                   make_sharded_pets_solve,
@@ -39,6 +39,57 @@ def test_sharded_theta_bank_matches_unsharded():
     c_plain = plain(x0, u0, thetas, 1.0)
     np.testing.assert_allclose(np.asarray(c_sharded), np.asarray(c_plain),
                                rtol=1e-10)
+
+
+def test_sharded_theta_bank_masks_nonfinite_lanes():
+    """Sharded ≡ unsharded INCLUDING non-finite lanes (VERDICT r3 item 3):
+    neurotic-breakdown lanes surface as Inf and NaN-objective lanes are
+    masked to Inf identically in both paths — the Inf-masking contract the
+    reference pins at cross_entropy_bilevel_optimization.jl:161-166."""
+    from ratilqr_tpu.problems import RiskSensitiveProblem
+
+    # Large noise covariance: M = W⁻¹ − θS loses PSD at moderate θ, so the
+    # large-θ lanes are neurotic breakdowns (failed → Inf) while the tiny-θ
+    # lanes stay feasible.
+    prob = RiskSensitiveProblem(
+        f=lambda x, u: x + u,
+        c=lambda k, x, u: x @ x + u @ u,
+        h=lambda x: x @ x,
+        W=lambda k: 1e3 * jnp.eye(2, dtype=jnp.float64),
+        N=6)
+    config = CrossEntropyConfig(num_samples=8, ileqg=ILEQGConfig(iter_max=3))
+    x0 = jnp.ones(2, jnp.float64)
+    u0 = jnp.zeros((6, 2), jnp.float64)
+    thetas = jnp.concatenate([jnp.linspace(1e-6, 1e-4, 4),
+                              jnp.linspace(1.0, 100.0, 4)])
+    mesh = make_mesh()
+    c_sharded = np.asarray(
+        make_sharded_theta_cost_fn(prob, config, mesh)(x0, u0, thetas, 1.0))
+    c_plain = np.asarray(
+        ratilqr.make_cost_fn(prob, config)(x0, u0, thetas, 1.0))
+    assert np.any(np.isinf(c_plain)), "fixture must have breakdown lanes"
+    assert np.any(np.isfinite(c_plain)), "fixture must have feasible lanes"
+    assert not np.any(np.isnan(c_sharded))
+    np.testing.assert_array_equal(np.isinf(c_sharded), np.isinf(c_plain))
+    finite = np.isfinite(c_plain)
+    np.testing.assert_allclose(c_sharded[finite], c_plain[finite],
+                               rtol=1e-10)
+
+    # NaN-objective lanes (NaN dynamics; no failure flag fires) must mask
+    # to Inf in BOTH paths — unmasked NaN sorts FIRST under top_k(-c) and
+    # poisons the elite refit.
+    nan_prob = RiskSensitiveProblem(
+        f=lambda x, u: jnp.sqrt(x - 100.0) + u,   # sqrt of negative: NaN
+        c=lambda k, x, u: x @ x + u @ u,
+        h=lambda x: x @ x,
+        W=lambda k: 0.1 * jnp.eye(2, dtype=jnp.float64),
+        N=6)
+    th2 = jnp.linspace(0.01, 0.1, 8)
+    cn_sharded = np.asarray(make_sharded_theta_cost_fn(
+        nan_prob, config, mesh)(jnp.zeros(2, jnp.float64), u0, th2, 1.0))
+    cn_plain = np.asarray(ratilqr.make_cost_fn(nan_prob, config)(
+        jnp.zeros(2, jnp.float64), u0, th2, 1.0))
+    assert np.all(np.isinf(cn_sharded)) and np.all(np.isinf(cn_plain))
 
 
 def test_shard_map_pets_cost_shapes_and_determinism(pets_uniform_problem):
