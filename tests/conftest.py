@@ -39,6 +39,7 @@ SLOW_MODULES = {
     "test_riccati_parallel",         # associative-scan experimental backend
     "test_distributed_multiprocess", # spawns a second jax.distributed proc
     "test_oracle_bilevel",           # eager outer-loop oracles, many solves
+    "test_golden",                   # frozen-file replay of the eager oracles
 }
 SLOW_TESTS = {
     "test_models_dims.py::test_pallas_kernel_at_dimension[quadrotor]",
