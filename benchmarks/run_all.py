@@ -128,16 +128,22 @@ def bench_nm_mpc(T=30, steps=10):
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
     out = {}
-    # cfg_tag → (adaptive ε, refresh_carried_costs).  ``_refresh`` is the
-    # opt-in fix for the reference's stale-carried-cost quirk (see
-    # NelderMeadConfig.refresh_carried_costs): warm re-plans converge in
-    # single-digit NM iterations instead of burning iter_max=100.
-    for cfg_tag, (adaptive, refresh) in (
-            ("", (False, False)), ("_adaptive", (True, False)),
-            ("_refresh", (False, True))):
+    # cfg_tag → (adaptive ε, refresh_carried_costs, speculation_depth).
+    # ``_refresh`` is the opt-in fix for the reference's stale-carried-cost
+    # quirk (see NelderMeadConfig.refresh_carried_costs): warm re-plans
+    # converge in single-digit NM iterations instead of burning
+    # iter_max=100.  ``_spec3`` evaluates 3 NM iterations' candidate trees
+    # per bank (942 lanes = one Pallas tile), cutting the sequential
+    # dispatch chain 3x at identical decisions — with reference semantics
+    # AND combined with refresh (the headline latency config).
+    for cfg_tag, (adaptive, refresh, depth) in (
+            ("", (False, False, 1)), ("_adaptive", (True, False, 1)),
+            ("_refresh", (False, True, 1)),
+            ("_spec3", (False, False, 3)),
+            ("_refresh_spec3", (False, True, 3))):
         config = NelderMeadConfig(
             theta_high_init=0.02, theta_low_init=1e-8,
-            refresh_carried_costs=refresh,
+            refresh_carried_costs=refresh, speculation_depth=depth,
             ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
                               adaptive_eps_init=adaptive,
                               eps_history_cap=0 if adaptive else 256))

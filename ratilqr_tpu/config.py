@@ -151,6 +151,19 @@ class NelderMeadConfig:
     in single-digit iterations and RAT iLQR++ regains its "faster than RAT
     iLQR" headline property (reference ``README.md:15``).  Default
     ``False`` for decision-for-decision reference parity.
+
+    ``speculation_depth`` (jitted path only) evaluates that many NM
+    iterations' candidate trees in ONE iLEQG bank per loop round.  An NM
+    step can only ever query 6 θs computable up front from the sorted
+    simplex; chaining the hypotheses over the 6 possible new vertices × 2
+    sort orders gives 6 / 78 / 942 lanes at depth 1 / 2 / 3 — and on TPU
+    the Pallas Riccati bank pads to a 1024-lane tile regardless, so a
+    942-lane bank costs the same wall-clock as 6 lanes while collapsing 3
+    *sequentially dependent* dispatch rounds into 1.  Decision replay is
+    exact (same formulas, same values), so results are identical at any
+    depth; depth > 3 would exceed one lane tile and is rejected.  Pure
+    latency knob for the single-dispatch MPC path; keep 1 on CPU (the
+    speculative lanes are real compute there).
     """
     alpha: float = 1.0    # reflection
     beta: float = 2.0     # expansion
@@ -161,8 +174,14 @@ class NelderMeadConfig:
     theta_high_init: float = 3.0
     theta_low_init: float = 1e-8
     refresh_carried_costs: bool = False
+    speculation_depth: int = 1
     verbose: bool = False
     ileqg: ILEQGConfig = ILEQGConfig()
+
+    def __post_init__(self):
+        _check(1 <= self.speculation_depth <= 3,
+               "speculation_depth must be in {1, 2, 3} (depth 3 already "
+               "fills one 1024-lane TPU tile: 6 + 72 + 864 = 942 lanes)")
 
 
 @dataclasses.dataclass(frozen=True)

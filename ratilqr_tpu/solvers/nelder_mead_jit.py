@@ -100,68 +100,121 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         return th_hi, th_lo, c_hi, c_lo, hi_init, lo_init
 
     def nm_step(carry):
-        """One ``step!`` (ref :174-252) as one speculative 6-lane bank:
-        sort, then evaluate every θ the reference could possibly query
-        this iteration, then replay its decision sequence."""
+        """Up to ``speculation_depth`` consecutive ``step!``s (ref
+        :174-252) as ONE speculative bank.
+
+        One NM iteration can only ever query 6 θs — reflect, expand, both
+        contraction hypotheses, both shrink hypotheses — computable up
+        front from the sorted simplex.  Chaining: the iteration's outcome
+        places one of those 6 candidates in the high slot, and the next
+        sort either keeps or swaps it, so the depth-s candidate set is
+        6·12^(s-1) θs, all computable from values already in the tree.
+        Depth 3 = 6 + 72 + 864 = 942 lanes — exactly one (8, 128)-lane
+        Pallas tile, i.e. the same kernel wall-clock as a 6-lane bank, for
+        one third of the *sequentially dependent* dispatch chain.  The
+        replay below then walks the reference's decision sequence over
+        the precomputed costs; group index ``g`` tracks which subtree the
+        realized trajectory is in.  Values are identical at any depth
+        (same formulas over the same operands)."""
         th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done = carry
-        it = it + 1
-
-        swap = c_hi < c_lo
-        th_lo, th_hi = (jnp.where(swap, th_hi, th_lo),
-                        jnp.where(swap, th_lo, th_hi))
-        c_lo, c_hi = (jnp.where(swap, c_hi, c_lo),
-                      jnp.where(swap, c_lo, c_hi))
-
-        theta_m = th_lo
+        S = config.speculation_depth
         clamp = lambda th: jnp.maximum(lo_init, th)
-        th_r = clamp(theta_m + config.alpha * (theta_m - th_hi))
-        th_e = clamp(theta_m + config.beta * (th_r - theta_m))
-        th_c0 = clamp(theta_m + config.gamma * (th_hi - theta_m))  # ¬keep_r
-        th_c1 = clamp(theta_m + config.gamma * (th_r - theta_m))   # keep_r
-        th_s0 = (th_hi + th_lo) / 2.0                              # ¬keep_r
-        th_s1 = (th_r + th_lo) / 2.0                               # keep_r
-        cs = bank_cost(jnp.stack([th_r, th_e, th_c0, th_c1, th_s0, th_s1]))
-        c_r, c_e, c_c0, c_c1, c_s0, c_s1 = (cs[0], cs[1], cs[2], cs[3],
-                                            cs[4], cs[5])
 
-        # Replay the reference's decisions (ref :195-244).
-        expand = c_r < c_lo
-        e_better = c_e < c_r
-        th_exp = jnp.where(e_better, th_e, th_r)
-        c_exp = jnp.where(e_better, c_e, c_r)
+        def cands(lo, hi):
+            """The 6 θs one ``step!`` can query, from a sorted simplex
+            (elementwise over any batch of (lo, hi) pairs): [reflect,
+            expand, contract(¬keep_r), contract(keep_r), shrink(¬keep_r),
+            shrink(keep_r)] (ref :195-243; shrink is unclamped there)."""
+            th_r = clamp(lo + config.alpha * (lo - hi))
+            th_e = clamp(lo + config.beta * (th_r - lo))
+            th_c0 = clamp(lo + config.gamma * (hi - lo))
+            th_c1 = clamp(lo + config.gamma * (th_r - lo))
+            th_s0 = (hi + lo) / 2.0
+            th_s1 = (th_r + lo) / 2.0
+            return jnp.stack([th_r, th_e, th_c0, th_c1, th_s0, th_s1],
+                             axis=-1)
 
-        keep_r = ~expand & (c_r < c_hi)
-        # (the transient theta_high = theta_r assignment, ref :228, is
-        # always overwritten by the contraction outcome -- only its COST
-        # feeds the shrink decision, ref :238)
-        c_hi2 = jnp.where(keep_r, c_r, c_hi)
-        th_c = jnp.where(keep_r, th_c1, th_c0)
-        c_c = jnp.where(keep_r, c_c1, c_c0)
-        shrink = c_c > c_hi2
-        th_s = jnp.where(keep_r, th_s1, th_s0)
-        c_s = jnp.where(keep_r, c_s1, c_s0)
-        th_con = jnp.where(shrink, th_s, th_c)
-        c_con = jnp.where(shrink, c_s, c_c)
+        # --- build the candidate tree from the sorted root simplex ------
+        swap0 = c_hi < c_lo
+        lo0 = jnp.where(swap0, th_hi, th_lo)
+        hi0 = jnp.where(swap0, th_lo, th_hi)
+        obit = jnp.asarray([False, True])
+        levels = [cands(lo0, hi0)]                          # (6,)
+        if S >= 2:
+            # hypothesis (j, o): new high = level-1 candidate j; o = the
+            # next sort swapped it into the low slot.
+            lo1 = jnp.where(obit[None, :], levels[0][:, None], lo0)  # (6,2)
+            hi1 = jnp.where(obit[None, :], lo0, levels[0][:, None])
+            t2 = cands(lo1, hi1)                            # (6,2,6)
+            levels.append(t2.reshape(-1))
+        if S >= 3:
+            ob = obit.reshape(1, 1, 1, 2)
+            cand2 = t2[:, :, :, None]                       # (6,2,6,1)
+            lo1e = lo1[:, :, None, None]                    # (6,2,1,1)
+            lo2 = jnp.where(ob, cand2, lo1e)                # (6,2,6,2)
+            hi2 = jnp.where(ob, lo1e, cand2)
+            levels.append(cands(lo2, hi2).reshape(-1))      # (864,)
+        tree_thetas = jnp.concatenate(levels) if S > 1 else levels[0]
+        tree_costs = bank_cost(tree_thetas)
+        offs = (0, 6, 78)
 
-        th_hi = jnp.where(expand, th_exp, th_con)
-        c_hi = jnp.where(expand, c_exp, c_con)
+        # --- replay the reference's decision sequence (ref :195-244) ----
+        g = i32(0)
+        for s in range(S):
+            swp = c_hi < c_lo
+            s_lo = jnp.where(swp, th_hi, th_lo)
+            s_hi = jnp.where(swp, th_lo, th_hi)
+            s_cl = jnp.where(swp, c_hi, c_lo)
+            s_ch = jnp.where(swp, c_lo, c_hi)
+            ths = lax.dynamic_slice(tree_thetas, (offs[s] + g * 6,), (6,))
+            cs = lax.dynamic_slice(tree_costs, (offs[s] + g * 6,), (6,))
+            c_r, c_e = cs[0], cs[1]
 
-        # Convergence (ref :306-323).
-        c_mean = (c_lo + c_hi) / 2.0
-        stdev = jnp.sqrt(0.5 * ((c_hi - c_mean) ** 2
-                                + (c_lo - c_mean) ** 2))
-        done = (stdev < config.eps) | (it >= config.iter_max)
-        if config.verbose:
-            # Per-iteration simplex trace mirroring the reference's verbose
-            # prints (ref :181-249); decision = which replay branch fired.
-            jax.debug.print(
-                "**NM iter {i}: reflect (th_r, c_r)=({tr:.4g}, {cr:.4g}) "
-                "expand={e} keep_r={k} shrink={s} -> simplex "
-                "(th_lo, c_lo)=({tl:.4g}, {cl:.4g}) "
-                "(th_hi, c_hi)=({th:.4g}, {ch:.4g}) stdev={sd:.4g}",
-                i=it, tr=th_r, cr=c_r, e=expand, k=keep_r,
-                s=~expand & shrink, tl=th_lo, cl=c_lo, th=th_hi, ch=c_hi,
-                sd=stdev)
+            expand = c_r < s_cl
+            e_better = c_e < c_r
+            keep_r = ~expand & (c_r < s_ch)
+            # (the transient theta_high = theta_r assignment, ref :228, is
+            # always overwritten by the contraction outcome -- only its
+            # COST feeds the shrink decision, ref :238)
+            c_hi2 = jnp.where(keep_r, c_r, s_ch)
+            c_c = jnp.where(keep_r, cs[3], cs[2])
+            shrink = c_c > c_hi2
+            j = jnp.where(
+                expand, jnp.where(e_better, i32(1), i32(0)),
+                jnp.where(keep_r, jnp.where(shrink, i32(5), i32(3)),
+                          jnp.where(shrink, i32(4), i32(2))))
+            new_hi, new_ch = ths[j], cs[j]
+
+            it_new = it + 1
+            c_mean = (s_cl + new_ch) / 2.0
+            stdev = jnp.sqrt(0.5 * ((new_ch - c_mean) ** 2
+                                    + (s_cl - c_mean) ** 2))
+            done_new = (stdev < config.eps) | (it_new >= config.iter_max)
+            if config.verbose:
+                # Per-iteration simplex trace mirroring the reference's
+                # verbose prints (ref :181-249); live=False marks masked
+                # speculative steps after in-group convergence.
+                jax.debug.print(
+                    "**NM iter {i}: reflect (th_r, c_r)=({tr:.4g}, "
+                    "{cr:.4g}) expand={e} keep_r={k} shrink={s} -> "
+                    "simplex (th_lo, c_lo)=({tl:.4g}, {cl:.4g}) "
+                    "(th_hi, c_hi)=({th:.4g}, {ch:.4g}) stdev={sd:.4g} "
+                    "live={lv}",
+                    i=it_new, tr=ths[0], cr=c_r, e=expand, k=keep_r,
+                    s=~expand & shrink, tl=s_lo, cl=s_cl, th=new_hi,
+                    ch=new_ch, sd=stdev, lv=~done)
+            # Commit only while the loop is logically live: a mid-group
+            # convergence freezes the remaining speculative steps.
+            live = ~done
+            th_hi = jnp.where(live, new_hi, th_hi)
+            th_lo = jnp.where(live, s_lo, th_lo)
+            c_hi = jnp.where(live, new_ch, c_hi)
+            c_lo = jnp.where(live, s_cl, c_lo)
+            it = jnp.where(live, it_new, it)
+            done = jnp.where(live, done_new, done)
+            # Descend into the realized subtree: o = next round's sort bit.
+            o = (new_ch < s_cl).astype(jnp.int32)
+            g = (g * 6 + j) * 2 + o
         return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done)
 
     def run_nm(_):

@@ -276,6 +276,40 @@ def test_nm_jit_refresh_matches_host():
     assert int(rj2.state.iter_current) < 10
 
 
+def test_nm_jit_speculation_depth_parity():
+    """``speculation_depth`` evaluates 1/2/3 NM iterations per bank by
+    enumerating the candidate tree (6/78/942 lanes); the decision replay
+    must reproduce the depth-1 (and therefore host/reference) sequence
+    EXACTLY — same θ_opt, value, state, and iteration count — on a fresh
+    solve, a warm stale-c chain, and a refresh-mode warm chain."""
+    import dataclasses
+
+    from ratilqr_tpu.solvers import nelder_mead_jit
+
+    prob, x0, u0 = _fixture()
+    x1 = x0 + 0.3
+    for refresh in (False, True):
+        base = NelderMeadConfig(refresh_carried_costs=refresh,
+                                iter_max=25)
+        ref1 = nelder_mead.solve(prob, base, nelder_mead.init_state(base),
+                                 x0, u0, kl_bound=KL_BOUND)
+        ref2 = nelder_mead.solve(prob, base, ref1.state, x1, u0,
+                                 kl_bound=KL_BOUND)
+        for depth in (2, 3):
+            cfg = dataclasses.replace(base, speculation_depth=depth)
+            r1 = nelder_mead_jit.solve(prob, cfg,
+                                       nelder_mead.init_state(cfg),
+                                       x0, u0, kl_bound=KL_BOUND)
+            r2 = nelder_mead_jit.solve(prob, cfg, r1.state, x1, u0,
+                                       kl_bound=KL_BOUND)
+            for rj, rh in ((r1, ref1), (r2, ref2)):
+                np.testing.assert_allclose(float(rj.theta_opt),
+                                           float(rh.theta_opt), rtol=1e-9)
+                np.testing.assert_allclose(float(rj.value),
+                                           float(rh.value), rtol=1e-9)
+                _nm_state_allclose(rj.state, rh.state)
+
+
 def test_host_path_decodes_jit_nan_state():
     """A kl_bound == 0 jit solve round-trips fresh state as concrete-NaN
     c_high/c_low; the host path must decode that as "missing" and run the
