@@ -247,7 +247,7 @@ def bench_ratilqr_fleet(T=30, steps=10, seeds=64):
             "ratilqr_fleet_compile_s": stats["compile"]}
 
 
-def bench_pets(T=50, K=256, M=16, prefix="pets"):
+def bench_pets(T=50, K=256, M=16, prefix="pets", unroll=1):
     from ratilqr_tpu import PETSConfig
     from ratilqr_tpu.models import gmm_integrator
     from ratilqr_tpu.solvers import pets
@@ -256,7 +256,7 @@ def bench_pets(T=50, K=256, M=16, prefix="pets"):
     dtype = jnp.float32
     prob = gmm_integrator(N=T, dtype=dtype)
     config = PETSConfig(num_control_samples=K, num_trajectory_samples=M,
-                        num_elite=32, iter_max=5)
+                        num_elite=32, iter_max=5, scan_unroll=unroll)
     state = pets.init_state(jnp.zeros((T, 2), dtype),
                             jnp.eye(2, dtype=dtype)[None].repeat(T, 0))
     x0 = jnp.zeros(2, dtype)
@@ -404,6 +404,11 @@ def main():
             # Reference-scale workload: 16,384 rollouts/generation, the
             # BASELINE.json "10k+ rollouts/iteration" config.
             results.update(bench_pets(K=1024, M=16, prefix="pets_16k"))
+            # Tuned rollout config (bit-identical results): scan_unroll=10
+            # fuses 10 time steps per scan round — see docs/performance.md
+            # "PETS roofline" for the measured device-only budget.
+            results.update(bench_pets(K=1024, M=16, prefix="pets_16k_tuned",
+                                      unroll=10))
     print(json.dumps(results, indent=2))
     if args.json:
         with open(args.json, "w") as f:
