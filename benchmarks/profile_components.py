@@ -78,32 +78,44 @@ def main():
     def chained(unit, k):
         """Apply `unit` k times with a scalar data dependence between links.
 
-        unit(x0_b, u_b, feed) -> scalar array (B,) whose value feeds the
-        next link (scaled to ~0 so trajectories stay in-distribution).
+        unit(x0_b, u_b, ap, feed) -> scalar array (B,) whose value feeds
+        the next link (scaled to ~0 so trajectories stay in-distribution).
+        ``ap`` (the precomputed bank Approximation) is an explicit jit
+        ARGUMENT: closing over it bakes a ~1 GB constant into the program,
+        which the tunneled remote-compile endpoint rejects (HTTP 413) at
+        B=65,536.
         """
-        def fn(x0_b, u_b):
+        def fn(x0_b, u_b, ap):
             feed = jnp.zeros((B,), dtype)
             for _ in range(k):
-                feed = unit(x0_b, u_b, feed) * 1e-30
+                feed = unit(x0_b, u_b, ap, feed) * 1e-30
             return feed
         return jax.jit(fn)
 
     # --- units ----------------------------------------------------------
-    def unit_rollout(x0_b, u_b, feed):
+    def unit_rollout(x0_b, u_b, ap, feed):
         x, u, A, Bm = jax.vmap(
             lambda x0_, u_, f_: rollout_feedback_with_jac(
                 problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)),
                 u_, L_warm, unroll=config.scan_unroll)
         )(x0_b, u_b, feed)
-        return jnp.sum(x[:, -1], axis=-1)
+        # Consume EVERY output: a unit that returns a slice lets XLA
+        # dead-code-eliminate the rest of its work and undercount.
+        return (jnp.sum(x, axis=(1, 2)) + jnp.sum(u, axis=(1, 2))
+                + jnp.sum(A, axis=(1, 2, 3)) + jnp.sum(Bm, axis=(1, 2, 3)))
 
-    def unit_approx(x0_b, u_b, feed):
+    def unit_approx(x0_b, u_b, ap, feed):
         # fixed nominal x-trajectory; feed perturbs u.
         xtraj = jnp.broadcast_to(xm, (T + 1, 3))
         ap_ = jax.vmap(
             lambda u_, f_: approximate_model(problem, u_ + f_, xtraj)
         )(u_b, feed)
-        return ap_.q[:, 0] + ap_.q_term
+        # Consume every field (anti-DCE, see unit_rollout).
+        tot = ap_.q_term + jnp.sum(ap_.q, axis=1)
+        for leaf in (ap_.q_vec, ap_.Q, ap_.r, ap_.R, ap_.P,
+                     ap_.q_vec_term, ap_.Q_term):
+            tot = tot + jnp.sum(leaf, axis=tuple(range(1, leaf.ndim)))
+        return tot
 
     # Precompute one bank approximation for the DP units.  The noise-model
     # fields are lane-invariant in the solver (W depends only on the
@@ -118,18 +130,21 @@ def main():
         q=0, q_vec=0, Q=0, r=0, R=0, P=0, A=0, B=0,
         W=None, W_inv=None, logdet_W=None, q_term=0, q_vec_term=0, Q_term=0)
 
-    def unit_dp_opt(x0_b, u_b, feed):
-        ap_ = approx_b._replace(q=approx_b.q + feed[:, None])
+    def unit_dp_opt(x0_b, u_b, ap, feed):
+        ap_ = ap._replace(q=ap.q + feed[:, None])
         _, L, dl, mu, delta, fail = jax.vmap(
             lambda a, th, m, d: dp_optimize(
                 a, theta=th, mu=m, delta=d, mu_min=config.mu_min,
                 delta_0=config.delta_0, unroll=config.scan_unroll,
                 slim=True),
             in_axes=(ap_axes, 0, 0, 0))(ap_, thetas, mu0, delta0)
-        return dl[:, 0, 0]
+        # Consume every output (anti-DCE, see unit_rollout).
+        return (dl[:, 0, 0] + jnp.sum(dl, axis=(1, 2))
+                + jnp.sum(L, axis=(1, 2, 3)) + mu + delta
+                + fail.astype(dl.dtype))
 
-    def unit_dp_eval(x0_b, u_b, feed):
-        ap_ = approx_b._replace(q=approx_b.q + feed[:, None])
+    def unit_dp_eval(x0_b, u_b, ap, feed):
+        ap_ = ap._replace(q=ap.q + feed[:, None])
         value, fail = jax.vmap(
             lambda a, th, m: dp_evaluate(a, L_warm, None, theta=th, mu=m,
                                          unroll=config.scan_unroll,
@@ -137,7 +152,7 @@ def main():
             in_axes=(ap_axes, 0, 0))(ap_, thetas, mu0)
         return value
 
-    def unit_ls_candidate(x0_b, u_b, feed):
+    def unit_ls_candidate(x0_b, u_b, ap, feed):
         def one(x0_, u_, th, f_):
             x, u, A, Bm = rollout_feedback_with_jac(
                 problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)), u_,
@@ -163,8 +178,8 @@ def main():
                    "latency includes the ~27 ms tunnel round trip"}
 
     for name, unit in units.items():
-        t_single = time_fn(chained(unit, 1), xb, ub, reps=5)
-        t_chain = time_fn(chained(unit, C), xb, ub, reps=5)
+        t_single = time_fn(chained(unit, 1), xb, ub, approx_b, reps=5)
+        t_chain = time_fn(chained(unit, C), xb, ub, approx_b, reps=5)
         per_link_ms = (t_chain["best"] - t_single["best"]) / (C - 1) * 1e3
         out[f"{name}_ms_per_call"] = round(per_link_ms, 4)
         out[f"{name}_single_dispatch_ms"] = round(t_single["best"] * 1e3, 3)
