@@ -34,8 +34,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from ratilqr_tpu import ILEQGConfig
 from ratilqr_tpu.models import unicycle
-from ratilqr_tpu.ops.approx import approximate_model
-from ratilqr_tpu.ops.riccati import dp_evaluate, dp_optimize
+from ratilqr_tpu.ops.approx import approximate_folded, approximate_model
+from ratilqr_tpu.ops.riccati import (dp_evaluate, dp_evaluate_folded,
+                                     dp_optimize)
 from ratilqr_tpu.ops.rollout import rollout_feedback_with_jac
 from ratilqr_tpu.solvers.ileqg import make_batched_solver
 from ratilqr_tpu.utils.profiling import time_fn
@@ -152,7 +153,22 @@ def main():
             in_axes=(ap_axes, 0, 0))(ap_, thetas, mu0)
         return value
 
+    def unit_ls_candidate_folded(x0_b, u_b, ap, feed):
+        # The opt-in fold_candidate_eval path: one rollout + a fold stage
+        # emitting the 22-float folded stack, evaluated by the folded
+        # kernel.  Faster HERE in isolation, slower composed into the
+        # full solve (docs/performance.md "Warm re-plan device budget").
+        def one(x0_, u_, th, f_):
+            folded = approximate_folded(
+                problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)), u_,
+                L_warm, jnp.zeros((), dtype), unroll=config.scan_unroll)
+            value, fail = dp_evaluate_folded(folded, theta=th,
+                                             unroll=config.scan_unroll)
+            return value
+        return jax.vmap(one)(x0_b, u_b, thetas, feed)
+
     def unit_ls_candidate(x0_b, u_b, ap, feed):
+        # The DEFAULT candidate path (fold_candidate_eval=False).
         def one(x0_, u_, th, f_):
             x, u, A, Bm = rollout_feedback_with_jac(
                 problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)), u_,
@@ -170,6 +186,7 @@ def main():
         "dp_optimize": unit_dp_opt,
         "dp_evaluate": unit_dp_eval,
         "ls_candidate": unit_ls_candidate,
+        "ls_candidate_folded": unit_ls_candidate_folded,
     }
 
     out = {"batch": B, "T": T, "chain": C,

@@ -65,6 +65,20 @@ class ILEQGConfig:
         rollout+approx+DP rounds per iteration; chunking evaluates the
         ladder as one (B·chunk)-lane batch.  TPU benchmark configs use
         ~8; keep 1 on CPU (compile cost, no latency win).
+      fold_candidate_eval: evaluate line-search candidates (and the
+        ``initialize!`` value) through the closed-loop-FOLDED stack
+        (``ops/approx.approximate_folded`` + the folded Riccati kernel):
+        22 instead of 46 floats/step/lane cross the XLA↔kernel boundary.
+        Semantically identical (algebraic identity in ``FoldedApprox``;
+        pinned by tests), and the *isolated* candidate evaluation
+        measures 27% faster at B=65,536 — but the FULL warm solve
+        measures 18% SLOWER in an interleaved A/B (478k → 393k solves/s)
+        with ~30× the compile time: splitting the candidate evaluation
+        into rollout → separate fold stage → second kernel variant costs
+        XLA the cross-stage fusions that the unfolded composition gets
+        for free.  Kept as an opt-in (default False) because the
+        trade-off is shape-dependent; measured record in
+        docs/performance.md "Warm re-plan device budget".
     """
     mu_min: float = 1e-6
     delta_0: float = 2.0
@@ -78,6 +92,7 @@ class ILEQGConfig:
     eps_history_cap: int = 256
     scan_unroll: int = 1
     ls_chunk: int = 1
+    fold_candidate_eval: bool = False
     verbose: bool = False
 
     def __post_init__(self):

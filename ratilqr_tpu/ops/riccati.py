@@ -449,6 +449,147 @@ def dp_evaluate(approx: Approximation, L_traj: Array,
     return dp, m_fail
 
 
+def _riccati_folded_core(fa, theta: Array,
+                         unroll: int = 1) -> Tuple[Array, Array]:
+    """Policy-evaluating backward pass over a closed-loop-FOLDED stack.
+
+    Algebraically identical to the ``dl = 0`` evaluating pass
+    (``ileqg.jl:412-465``; see :class:`~ratilqr_tpu.ops.approx.
+    FoldedApprox` for the substitution): with ``Ā = A + BL`` etc. the
+    recursion needs neither the control-side blocks nor ``L``/μ —
+
+        M  = W⁻¹ − θS            (PSD check: neurotic breakdown)
+        D  = I + θ S M⁻¹
+        s  ← q + s + risk(s⃗, S, M, W)
+        s⃗  ← q̄_vec + ĀᵀD s⃗
+        S  ← sym(Q̄ + ĀᵀD S Ā)
+
+    Returns ``(value, m_fail)`` (slim by construction: this path exists
+    for value-only candidate evaluations).
+    """
+    n = fa.A.shape[-1]
+    dtype = fa.A.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    theta_is_zero = theta == 0.0
+    theta_safe = jnp.where(theta_is_zero, jnp.ones((), dtype), theta)
+
+    def step(carry, inp):
+        s, s_vec, S, m_fail = carry
+        q, q_vec, Q, A, W, W_inv, logdet_W = inp
+
+        M = _sym(W_inv - theta * S)
+        M_chol = smallmat.cholesky(M)
+        m_fail = m_fail | ~_chol_ok(M_chol)
+
+        MinvS = smallmat.cho_solve_mat(M_chol, S)
+        D = eye_n + theta * MinvS.T
+        DS = D @ S
+
+        s_new = q + s
+        Minv_svec = smallmat.cho_solve_vec(M_chol, s_vec)
+        logdet_M = smallmat.cho_logdet(M_chol)
+        risk_neutral = 0.5 * jnp.trace(W @ S)
+        risk_sensitive = (0.5 * theta * (s_vec @ Minv_svec)
+                          - (logdet_W + logdet_M) / (2.0 * theta_safe))
+        s_new = s_new + jnp.where(theta_is_zero, risk_neutral,
+                                  risk_sensitive)
+
+        s_vec_new = q_vec + A.T @ (D @ s_vec)
+        S_new = _sym(Q + A.T @ DS @ A)
+        return (s_new, s_vec_new, S_new, m_fail), None
+
+    init = (fa.q_term, fa.q_vec_term, fa.Q_term, jnp.zeros((), bool))
+    xs = (fa.q, fa.q_vec, fa.Q, fa.A, fa.W, fa.W_inv, fa.logdet_W)
+    with jax.default_matmul_precision("highest"):
+        (s, _, _, m_fail), _ = lax.scan(step, init, xs, reverse=True,
+                                        unroll=unroll)
+    return s, m_fail
+
+
+@_lru_cache(maxsize=32)
+def _make_folded_core(unroll: int):
+    """custom_vmap wrapper for the folded evaluating pass — same two-level
+    structure as :func:`_make_core` (vmapped banks route to the Pallas
+    kernel; nested vmap levels flatten into one lane axis) specialized to
+    the value-only folded mode."""
+
+    def core(fa, theta):
+        return _riccati_folded_core(fa, theta, unroll)
+
+    def banked(fa_b, theta_b):
+        axis_size = theta_b.shape[0]
+        if _pallas_eligible(axis_size, fa_b.A.dtype):
+            from ratilqr_tpu.ops.riccati_pallas import riccati_bank_folded
+            bank = riccati_bank_folded(fa_b, theta_b)
+            return bank.value, bank.m_fail
+        if fa_b.W.ndim == 3:
+            fa_b = fa_b._replace(**{
+                f: jnp.broadcast_to(
+                    getattr(fa_b, f)[None],
+                    (axis_size,) + getattr(fa_b, f).shape)
+                for f in _W_FIELDS})
+        return jax.vmap(core)(fa_b, theta_b)
+
+    banked_cv = jax.custom_batching.custom_vmap(banked)
+
+    @banked_cv.def_vmap
+    def _flatten_rule(axis_size, in_batched, fa, theta):
+        inner = theta.shape[-1]
+        base_ndim = {"W": 3, "W_inv": 3, "logdet_W": 1}
+
+        def norm_w(f):
+            x = jnp.asarray(getattr(fa, f))
+            b = getattr(in_batched[0], f)
+            base = base_ndim[f]
+            if not b and x.ndim == base:
+                return x
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            elif x.ndim == base + 1:
+                x = jnp.broadcast_to(x[:, None],
+                                     (axis_size, inner) + x.shape[1:])
+            return x.reshape((axis_size * inner,) + x.shape[2:])
+
+        w_norm = {f: norm_w(f) for f in _W_FIELDS}
+        placeholder = fa._replace(
+            **{f: jnp.zeros((axis_size, inner), fa.q.dtype)
+               for f in _W_FIELDS})
+        ib0 = in_batched[0]._replace(**{f: True for f in _W_FIELDS})
+        args_b = _bc_args(axis_size, (ib0, in_batched[1]),
+                          (placeholder, theta), keep_w_shared=False)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((axis_size * inner,) + x.shape[2:]), args_b)
+        flat = (flat[0]._replace(**w_norm),) + flat[1:]
+        out = banked_cv(*flat)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape((axis_size, inner) + x.shape[1:]), out)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    cv = jax.custom_batching.custom_vmap(core)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, fa, theta):
+        args_b = _bc_args(axis_size, in_batched, (fa, theta),
+                          keep_w_shared=True)
+        return banked_cv(*args_b), (True, True)
+
+    return cv
+
+
+def dp_evaluate_folded(folded, *, theta: Array,
+                       unroll: int = 1) -> Tuple[Array, Array]:
+    """Value-only policy evaluation over a closed-loop-folded stack.
+
+    The line-search-candidate / ``initialize!`` fast path: semantically
+    equal to ``dp_evaluate(approx, L, None, theta=θ, mu=μ, slim=True)``
+    on the unfolded stack (``ileqg.jl:412-465`` with ``dl = 0``), but
+    streams 22 instead of 46 floats/step/lane.  Returns
+    ``(value, m_fail)``.
+    """
+    theta = jnp.asarray(theta, folded.A.dtype)
+    return _make_folded_core(unroll)(folded, theta)
+
+
 def mu_restart_loop(run, mu: Array, delta: Array, mu_min: float,
                     delta_0: float, max_restarts: int):
     """Shared μ-restart retry harness (``ileqg.jl:358-401``): re-run the

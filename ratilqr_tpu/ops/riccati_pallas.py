@@ -548,3 +548,184 @@ def riccati_bank(approx_b, theta: Array, mu: Array,
 def _use_interpret() -> bool:
     """Interpret mode off-TPU (CPU tests); compiled Mosaic on TPU."""
     return jax.default_backend() not in ("tpu", "axon")
+
+
+# --- folded evaluating kernel --------------------------------------------
+
+def _riccati_folded_kernel(w_shared: bool, *refs):
+    """Value-only evaluating pass over a closed-loop-FOLDED stack
+    (``ops/approx.FoldedApprox``): per step reads only
+    ``(q, q̄_vec, Q̄, Ā)`` = 22 floats/lane — the ``dl = 0`` fixed-policy
+    recursion needs neither the control blocks nor L/μ (algebra in the
+    FoldedApprox docstring; semantics = ``ileqg.jl:412-465`` with zero
+    offsets).  Same closed-form block algebra and failure latching as
+    ``_riccati_kernel``'s evaluating mode."""
+    it = iter(refs)
+    q_ref, qv_ref, Q_ref, A_ref = (next(it) for _ in range(4))
+    W_ref, Wi_ref, ldW_ref = (next(it) for _ in range(3))
+    qT_ref, qvT_ref, QT_ref, theta_ref = (next(it) for _ in range(4))
+    val_ref, mfail_ref = (next(it) for _ in range(2))
+    S_sc, svec_sc, s_sc, mfail_sc = (next(it) for _ in range(4))
+
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        S_sc[...] = QT_ref[...]
+        svec_sc[...] = qvT_ref[...]
+        s_sc[...] = qT_ref[...]
+        mfail_sc[...] = jnp.zeros_like(mfail_sc)
+
+    theta = theta_ref[...]
+    theta_is_zero = theta == 0.0
+    theta_safe = jnp.where(theta_is_zero, jnp.ones_like(theta), theta)
+
+    S = S_sc[...]
+    s_vec = svec_sc[...]
+    s = s_sc[...]
+    m_fail = mfail_sc[...]
+
+    q = q_ref[...]
+    q_vec = qv_ref[...]
+    Q = Q_ref[...]
+    A = A_ref[...]
+    n = A.shape[0]
+
+    if w_shared:
+        M = _sym(_mat([[Wi_ref[i, j] - theta * S[i, j] for j in range(n)]
+                       for i in range(n)]))
+    else:
+        M = _sym(Wi_ref[...] - theta[None, None] * S)
+    M_chol = _chol(M)
+    m_fail = jnp.where(~_chol_ok_mask(M_chol), 1.0, m_fail)
+
+    MinvS = _cho_solve_mat(M_chol, S)
+    eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
+                        jnp.zeros_like(theta)) for j in range(n)]
+             for i in range(n)]
+    D = _mat(eye_b) + theta[None, None] * _t(MinvS)
+    DS = _mmul(D, S)
+
+    s_new = q + s
+    Minv_svec = _cho_solve_vec(M_chol, s_vec)
+    logdet_M = _cho_logdet(M_chol)
+    if w_shared:
+        risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
+                                 for i in range(n) for j in range(n))
+        logdet_W = ldW_ref[0, 0]
+    else:
+        risk_neutral = 0.5 * _trace_prod(W_ref[...], S)
+        logdet_W = ldW_ref[...]
+    risk_sensitive = (0.5 * theta * _dot(s_vec, Minv_svec)
+                      - (logdet_W + logdet_M) / (2.0 * theta_safe))
+    s_new = s_new + jnp.where(theta_is_zero, risk_neutral, risk_sensitive)
+
+    At = _t(A)
+    s_vec_new = q_vec + _mvec(At, _mvec(D, s_vec))
+    S_new = _sym(Q + _mmul(_mmul(At, DS), A))
+
+    val_ref[...] = s_new
+    mfail_ref[...] = m_fail
+
+    S_sc[...] = S_new
+    svec_sc[...] = s_vec_new
+    s_sc[...] = s_new
+    mfail_sc[...] = m_fail
+
+
+class BankFolded(NamedTuple):
+    """Lane-batched folded-evaluation result."""
+    value: Array   # (B,)
+    m_fail: Array  # (B,) bool
+
+
+def riccati_bank_folded(fa, theta: Array) -> BankFolded:
+    """Fused folded evaluating pass for a whole bank (value-only).
+
+    ``fa`` is a ``FoldedApprox`` with a leading bank axis on every field
+    except (optionally) the lane-invariant noise model, which streams via
+    SMEM exactly as in :func:`riccati_bank`.
+    """
+    w_shared = fa.W.ndim == 3
+    B, T = fa.q.shape[0], fa.q.shape[1]
+    n = fa.A.shape[-1]
+    dtype = fa.A.dtype
+    B_pad = max(LANES, ((B + LANES - 1) // LANES) * LANES)
+    tiles = B_pad // LANES
+
+    def prep(x):
+        return _to_lanes(jnp.asarray(x, dtype), B_pad)
+
+    S8, L8 = LANE_TILE
+
+    def bspec(*dims, time=True):
+        if time:
+            blk = (None,) + dims + (None, S8, L8)
+
+            def imap(bi, ti):
+                return (T - 1 - ti,) + (0,) * len(dims) + (bi, 0, 0)
+        else:
+            blk = dims + (None, S8, L8)
+
+            def imap(bi, ti):
+                return (0,) * len(dims) + (bi, 0, 0)
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
+    def sspec(*dims):
+        blk = (None,) + dims
+
+        def imap(bi, ti):
+            return (T - 1 - ti,) + (0,) * len(dims)
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.SMEM)
+
+    inputs = [prep(fa.q), prep(fa.q_vec), prep(fa.Q), prep(fa.A)]
+    in_specs = [bspec(), bspec(n), bspec(n, n), bspec(n, n)]
+
+    if w_shared:
+        inputs += [jnp.asarray(fa.W, dtype), jnp.asarray(fa.W_inv, dtype),
+                   jnp.asarray(fa.logdet_W, dtype).reshape(T, 1, 1)]
+        in_specs += [sspec(n, n), sspec(n, n), sspec(1, 1)]
+    else:
+        Wi_full = jnp.asarray(fa.W_inv, dtype)
+        if B_pad > B:
+            eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=dtype),
+                                       (B_pad - B, T, n, n))
+            Wi_full = jnp.concatenate([Wi_full, eye_pad], axis=0)
+        inputs += [prep(fa.W), _to_lanes(Wi_full, B_pad),
+                   prep(fa.logdet_W)]
+        in_specs += [bspec(n, n), bspec(n, n), bspec()]
+
+    inputs += [_to_lanes(fa.q_term[:, None], B_pad)[0],
+               _to_lanes(fa.q_vec_term[:, None], B_pad)[0],
+               _to_lanes(fa.Q_term[:, None], B_pad)[0],
+               _to_lanes(theta.astype(dtype)[:, None], B_pad)[0]]
+    in_specs += [bspec(time=False), bspec(n, time=False),
+                 bspec(n, n, time=False), bspec(time=False)]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),            # value
+        jax.ShapeDtypeStruct((tiles, S8, L8), dtype),            # m_fail
+    )
+    out_specs = (bspec(time=False), bspec(time=False))
+
+    scratch = [
+        pltpu.VMEM((n, n, S8, L8), dtype),   # S carry
+        pltpu.VMEM((n, S8, L8), dtype),      # s_vec carry
+        pltpu.VMEM((S8, L8), dtype),         # s carry
+        pltpu.VMEM((S8, L8), dtype),         # m_fail mask
+    ]
+
+    call = pl.pallas_call(
+        functools.partial(_riccati_folded_kernel, w_shared),
+        grid=(tiles, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )
+    with jax.enable_x64(False):
+        val, mfail = call(*inputs)
+
+    scalar = lambda x: _from_lanes(x[None], B)[:, 0]
+    return BankFolded(value=scalar(val), m_fail=scalar(mfail) > 0)

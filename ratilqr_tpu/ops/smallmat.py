@@ -114,3 +114,32 @@ def chol_ok(L: Array) -> Array:
 
 def sym(M: Array) -> Array:
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def mm(A: Array, B: Array) -> Array:
+    """Unrolled small-matrix product ``A @ B`` for (..., p, q) × (..., q, r).
+
+    Emits pure elementwise multiply/adds over the static small dims — no
+    ``dot_general``.  Under a large ``vmap`` lane axis XLA lowers batched
+    tiny ``dot_general``s through MXU-shaped paths that cost an order of
+    magnitude more than the equivalent VPU elementwise ops (measured: the
+    closed-loop fold inside the rollout scan, 4× on a warm B=65k bank
+    solve); every small matmul on a lane-batched hot path should use this.
+    """
+    p, q = A.shape[-2], A.shape[-1]
+    r = B.shape[-1]
+    rows = [jnp.stack([sum(A[..., i, k] * B[..., k, j] for k in range(q))
+                       for j in range(r)], -1) for i in range(p)]
+    return jnp.stack(rows, -2)
+
+
+def mv(A: Array, v: Array) -> Array:
+    """Unrolled small matrix-vector product for (..., p, q) × (..., q)."""
+    p, q = A.shape[-2], A.shape[-1]
+    return jnp.stack([sum(A[..., i, k] * v[..., k] for k in range(q))
+                      for i in range(p)], -1)
+
+
+def mt(A: Array) -> Array:
+    """Transpose of the trailing two dims."""
+    return jnp.swapaxes(A, -1, -2)

@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ratilqr_tpu.config import ILEQGConfig
-from ratilqr_tpu.ops.approx import approximate_model
-from ratilqr_tpu.ops.riccati import dp_evaluate, dp_optimize
+from ratilqr_tpu.ops.approx import approximate_folded, approximate_model
+from ratilqr_tpu.ops.riccati import (dp_evaluate, dp_evaluate_folded,
+                                     dp_optimize)
 from ratilqr_tpu.ops.rollout import (rollout_feedback,
                                      rollout_feedback_with_jac,
                                      rollout_open_loop,
@@ -142,14 +143,34 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         iteration was carry select/copy traffic at B=2048).  The accepted
         candidate is recomputed once after the loop — bit-identical, same
         inputs through the same ops.
+
+        The evaluation runs on the closed-loop-FOLDED path
+        (``approximate_folded`` + ``dp_evaluate_folded``): one fused scan
+        emits the 22-float/step folded stack instead of materializing the
+        (x, u, A, B) rollout stacks plus the 40-float Approximation — the
+        LS trial was the largest slice of warm-solve device time and is
+        HBM-round-trip-bound at headline bank sizes (docs/performance.md
+        "Warm re-plan device budget").  Semantics: algebraically identical
+        to the unfolded evaluating DP with dl = 0 (``ileqg.jl:412-465``;
+        identity in ``FoldedApprox``).
         """
         l_cand = state.l + eps * dl
-        x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
-            problem, x_ref, l_cand, state.L, unroll=config.scan_unroll)
-        approx_new = approximate_model(problem, u_new, x_new, A_new, B_new)
-        value_new, fail = dp_evaluate(approx_new, state.L, None, theta=theta,
-                                      mu=state.mu, unroll=config.scan_unroll,
-                                      slim=True)
+        if config.fold_candidate_eval:
+            folded = approximate_folded(problem, x_ref, l_cand, state.L,
+                                        state.mu,
+                                        unroll=config.scan_unroll)
+            value_new, fail = dp_evaluate_folded(folded, theta=theta,
+                                                 unroll=config.scan_unroll)
+        else:
+            x_new, u_new, A_new, B_new = rollout_feedback_with_jac(
+                problem, x_ref, l_cand, state.L,
+                unroll=config.scan_unroll)
+            approx_new = approximate_model(problem, u_new, x_new, A_new,
+                                           B_new)
+            value_new, fail = dp_evaluate(approx_new, state.L, None,
+                                          theta=theta, mu=state.mu,
+                                          unroll=config.scan_unroll,
+                                          slim=True)
         return value_new, ~fail
 
     def trial(carry):
@@ -307,13 +328,22 @@ def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
     dtype = x0.dtype
     N = u_init.shape[0]
     n, m = x0.shape[0], u_init.shape[1]
-    x, A, B = rollout_open_loop_with_jac(problem, x0, u_init,
-                                         unroll=config.scan_unroll)
     L = jnp.zeros((N, m, n), dtype)
-    approx = approximate_model(problem, u_init, x, A, B)
-    value0, fail = dp_evaluate(approx, L, None, theta=theta,
-                               mu=jnp.zeros((), dtype),
-                               unroll=config.scan_unroll, slim=True)
+    if config.fold_candidate_eval:
+        # L = 0 evaluation on the folded fast path (the fold degenerates
+        # to the raw (q, q_vec, Q, A) stack — no control blocks
+        # materialize or stream into the kernel).
+        folded = approximate_folded(problem, x0, u_init,
+                                    unroll=config.scan_unroll)
+        value0, fail = dp_evaluate_folded(folded, theta=theta,
+                                          unroll=config.scan_unroll)
+    else:
+        x, A, B = rollout_open_loop_with_jac(problem, x0, u_init,
+                                             unroll=config.scan_unroll)
+        approx = approximate_model(problem, u_init, x, A, B)
+        value0, fail = dp_evaluate(approx, L, None, theta=theta,
+                                   mu=jnp.zeros((), dtype),
+                                   unroll=config.scan_unroll, slim=True)
     # (x, A, B) are not carried — _step re-derives them bit-identically
     # from (x0, l); see the _State docstring.
     return _State(

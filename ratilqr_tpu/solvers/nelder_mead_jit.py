@@ -29,6 +29,20 @@ feasibility bootstrap (halve θ until the objective is finite, ref
 sequential evaluations into one.  The reference's decision sequence is
 reproduced exactly; only the schedule changes.
 
+Two further schedule compressions on the same principle:
+
+  - **Multi-step speculation** (``NelderMeadConfig.speculation_depth``):
+    the candidate trees of up to 3 CONSECUTIVE iterations are enumerable
+    up front (6 new-vertex hypotheses × 2 sort orders per level → 6 / 78
+    / 942 lanes), so one bank buys 3 sequentially dependent rounds; the
+    replay walks the realized subtree by group index.
+  - **Speculative final solve**: θ_opt = θ_low is always a θ that some
+    bank already solved, so each vertex's full solution ``(x, l, L,
+    value)`` rides the loop carry and the reference's final re-solve
+    (ref :334-346) is replaced by the carried lane — except where no
+    lane exists (the stale-c warm path's undisplaced θ_low; kl_bound = 0)
+    which falls back to a real solve via ``lax.cond``.
+
 Decision-for-decision parity with the host path is pinned by
 ``tests/test_bilevel.py`` (θ_opt/value/state to 1e-9 in f64), and
 ``jax.vmap`` of this solve gives a *fleet* of independent NM searches in
@@ -63,17 +77,35 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in) = state_arr
 
-    def bank_cost(thetas):
+    tsel = lambda pred, a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b)
+    tpick = lambda sols, k: jax.tree_util.tree_map(lambda a: a[k], sols)
+
+    # Per-lane solution pytree carried for the SPECULATIVE FINAL SOLVE:
+    # every θ the simplex can hold was solved inside some bank already, so
+    # the reference's final re-solve at θ_opt = θ_low (ref :334-346) is a
+    # bit-identical repeat of an existing lane — carry that lane's
+    # (x, l, L, raw value) through the loop and skip the extra sequential
+    # solve.  ``have`` flags lanes whose solution exists (the stale-c
+    # warm path starts without one; θ_opt = 0 never has one) — those fall
+    # back to the real final solve via lax.cond.
+    T_, n_, m_ = u_init.shape[0], x0.shape[0], u_init.shape[1]
+    sol0 = (jnp.zeros((T_ + 1, n_), dtype), jnp.zeros((T_, m_), dtype),
+            jnp.zeros((T_, m_, n_), dtype), jnp.zeros((), dtype))
+
+    def bank_eval(thetas):
         """Outer objective ``ileqg_value(θ) + kl_bound/θ`` over a θ-bank,
-        failure→Inf masked (``compute_cost_worker``, ref :134-158)."""
+        failure→Inf masked (``compute_cost_worker``, ref :134-158), plus
+        the per-lane solution pytree for the speculative final solve."""
         res = jax.vmap(lambda th: ileqg_solve(problem, config.ileqg, x0,
                                               u_init, th))(thetas)
         cost = res.value + kl_bound / thetas
         # NaN objective = failed solve -> Inf (Inf-masking invariant);
         # keeps all comparisons in the decision replay well-ordered and
         # matches the host path's NaN handling.
-        return jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, dtype),
+        cost = jnp.where(jnp.isnan(cost), jnp.asarray(jnp.inf, dtype),
                          cost)
+        return cost, (res.x, res.l, res.L, res.value)
 
     def bootstrap():
         """Both vertices' full λ-ladders in one bank; first finite wins —
@@ -82,10 +114,10 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         ks = lam ** jnp.arange(_MAX_BOOTSTRAP, dtype=dtype)
         ladder_hi = th_hi_init0 * ks
         ladder_lo = th_lo_init0 * ks
-        costs = bank_cost(jnp.concatenate([ladder_hi, ladder_lo]))
+        costs, sols = bank_eval(jnp.concatenate([ladder_hi, ladder_lo]))
         c_h, c_l = costs[:_MAX_BOOTSTRAP], costs[_MAX_BOOTSTRAP:]
 
-        def first_finite(ladder, cs, init0):
+        def first_finite(ladder, cs, init0, lane0):
             ok = jnp.isfinite(cs)
             # First finite entry; on a problem infeasible at EVERY theta,
             # the bounded host loop exhausts at the LAST evaluated rung
@@ -93,11 +125,15 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             # so warm-started decision parity survives the edge case.
             k = jnp.where(ok.any(), jnp.argmax(ok),
                           i32(_MAX_BOOTSTRAP - 1))
-            return ladder[k], cs[k], init0 * lam ** k.astype(dtype)
+            return (ladder[k], cs[k], init0 * lam ** k.astype(dtype),
+                    tpick(sols, lane0 + k))
 
-        th_hi, c_hi, hi_init = first_finite(ladder_hi, c_h, th_hi_init0)
-        th_lo, c_lo, lo_init = first_finite(ladder_lo, c_l, th_lo_init0)
-        return th_hi, th_lo, c_hi, c_lo, hi_init, lo_init
+        th_hi, c_hi, hi_init, sol_hi = first_finite(
+            ladder_hi, c_h, th_hi_init0, i32(0))
+        th_lo, c_lo, lo_init, sol_lo = first_finite(
+            ladder_lo, c_l, th_lo_init0, i32(_MAX_BOOTSTRAP))
+        return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
+                sol_hi, sol_lo, jnp.bool_(True), jnp.bool_(True))
 
     def nm_step(carry):
         """Up to ``speculation_depth`` consecutive ``step!``s (ref
@@ -116,7 +152,8 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         the precomputed costs; group index ``g`` tracks which subtree the
         realized trajectory is in.  Values are identical at any depth
         (same formulas over the same operands)."""
-        th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done = carry
+        (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+         have_hi, have_lo, it, done) = carry
         S = config.speculation_depth
         clamp = lambda th: jnp.maximum(lo_init, th)
 
@@ -155,7 +192,7 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             hi2 = jnp.where(ob, lo1e, cand2)
             levels.append(cands(lo2, hi2).reshape(-1))      # (864,)
         tree_thetas = jnp.concatenate(levels) if S > 1 else levels[0]
-        tree_costs = bank_cost(tree_thetas)
+        tree_costs, tree_sols = bank_eval(tree_thetas)
         offs = (0, 6, 78)
 
         # --- replay the reference's decision sequence (ref :195-244) ----
@@ -166,6 +203,8 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             s_hi = jnp.where(swp, th_lo, th_hi)
             s_cl = jnp.where(swp, c_hi, c_lo)
             s_ch = jnp.where(swp, c_lo, c_hi)
+            s_sol_lo = tsel(swp, sol_hi, sol_lo)
+            s_have_lo = jnp.where(swp, have_hi, have_lo)
             ths = lax.dynamic_slice(tree_thetas, (offs[s] + g * 6,), (6,))
             cs = lax.dynamic_slice(tree_costs, (offs[s] + g * 6,), (6,))
             c_r, c_e = cs[0], cs[1]
@@ -184,6 +223,7 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                 jnp.where(keep_r, jnp.where(shrink, i32(5), i32(3)),
                           jnp.where(shrink, i32(4), i32(2))))
             new_hi, new_ch = ths[j], cs[j]
+            cand_sol = tpick(tree_sols, offs[s] + g * 6 + j)
 
             it_new = it + 1
             c_mean = (s_cl + new_ch) / 2.0
@@ -210,12 +250,17 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             th_lo = jnp.where(live, s_lo, th_lo)
             c_hi = jnp.where(live, new_ch, c_hi)
             c_lo = jnp.where(live, s_cl, c_lo)
+            sol_hi = tsel(live, cand_sol, sol_hi)
+            sol_lo = tsel(live, s_sol_lo, sol_lo)
+            have_hi = jnp.where(live, jnp.bool_(True), have_hi)
+            have_lo = jnp.where(live, s_have_lo, have_lo)
             it = jnp.where(live, it_new, it)
             done = jnp.where(live, done_new, done)
             # Descend into the realized subtree: o = next round's sort bit.
             o = (new_ch < s_cl).astype(jnp.int32)
             g = (g * 6 + j) * 2 + o
-        return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, done)
+        return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
+                sol_lo, have_hi, have_lo, it, done)
 
     def run_nm(_):
         # initialize! (ref :164-168): θ reset from the persistent inits;
@@ -229,10 +274,12 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             # taken branch, so the bootstrap bank executes exactly when
             # the host path's _missing_c would bootstrap.
             missing = jnp.isnan(c_hi_in) | jnp.isnan(c_lo_in)
-            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init) = lax.cond(
+            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+             have_hi, have_lo) = lax.cond(
                 missing, lambda _: bootstrap(),
                 lambda _: (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in,
-                           th_hi_init0, th_lo_init0), None)
+                           th_hi_init0, th_lo_init0, sol0, sol0,
+                           jnp.bool_(False), jnp.bool_(False)), None)
         elif have_c:
             # refresh_carried_costs: re-evaluate the carried simplex
             # vertices at the INCOMING (x0, u_init) as one cheap 2-lane
@@ -241,21 +288,27 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             # pair) only runs, via lax.cond, when a vertex went
             # infeasible.  Fixed point identical to the host path's
             # None-reset → bootstrap (first finite rung wins).
-            cs = bank_cost(jnp.stack([th_hi_init0, th_lo_init0]))
+            cs, sols = bank_eval(jnp.stack([th_hi_init0, th_lo_init0]))
             both_ok = jnp.isfinite(cs[0]) & jnp.isfinite(cs[1])
-            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init) = lax.cond(
+            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+             have_hi, have_lo) = lax.cond(
                 both_ok,
                 lambda _: (th_hi_init0, th_lo_init0, cs[0], cs[1],
-                           th_hi_init0, th_lo_init0),
+                           th_hi_init0, th_lo_init0, tpick(sols, 0),
+                           tpick(sols, 1), jnp.bool_(True),
+                           jnp.bool_(True)),
                 lambda _: bootstrap(), None)
         else:
-            th_hi, th_lo, c_hi, c_lo, hi_init, lo_init = bootstrap()
-        carry = (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, i32(0),
-                 jnp.zeros((), bool))
+            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+             have_hi, have_lo) = bootstrap()
+        carry = (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
+                 sol_lo, have_hi, have_lo, i32(0), jnp.zeros((), bool))
         carry = lax.while_loop(lambda c: ~c[-1], nm_step, carry)
-        th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, _ = carry
+        (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+         have_hi, have_lo, it, _) = carry
         theta_opt = th_lo
-        return theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it
+        return (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
+                it, sol_lo, have_lo)
 
     def skip_nm(_):
         # kl_bound == 0 → pure iLQG; NM state untouched beyond the reset.
@@ -266,22 +319,34 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         return (jnp.asarray(0.0, dtype), th_hi_init0, th_lo_init0,
                 c_hi_in if have_c else missing,
                 c_lo_in if have_c else missing,
-                th_hi_init0, th_lo_init0, i32(0))
+                th_hi_init0, th_lo_init0, i32(0), sol0, jnp.bool_(False))
 
-    (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
-     it) = lax.cond(kl_bound > 0, run_nm, skip_nm, None)
+    (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, sol_lo,
+     have_lo) = lax.cond(kl_bound > 0, run_nm, skip_nm, None)
 
     # Final re-solve at θ_opt — deliberately NO retry loop, matching the
-    # reference (ref :334-346; unlike RAT iLQR's backoff).  Routed through
-    # a 1-lane bank so the DP passes take the Pallas kernel on TPU
-    # (solve_via_bank: measured ~3x faster than the unbatched scan path).
-    res = solve_via_bank(problem, config.ileqg, x0, u_init, theta_opt)
-    value = jnp.where(kl_bound > 0, res.value + kl_bound / theta_opt,
-                      res.value)
+    # reference (ref :334-346; unlike RAT iLQR's backoff).  SPECULATIVE:
+    # θ_opt = θ_low was already solved as a lane of some bank (its carried
+    # solution pytree rides the loop), and a fresh solve at identical
+    # inputs is lane-for-lane the same computation — so the extra
+    # sequential solve is skipped whenever the carried solution exists.
+    # Fallbacks through lax.cond: the stale-c warm path whose θ_low was
+    # never displaced (its cost is carried but its solution was never
+    # computed this call) and the kl_bound == 0 pure-iLQG path (θ_opt = 0
+    # is never a bank lane).  Routed through a 1-lane bank so the DP
+    # passes take the Pallas kernel on TPU (solve_via_bank).
+    def fresh_solve(_):
+        r = solve_via_bank(problem, config.ileqg, x0, u_init, theta_opt)
+        return r.x, r.l, r.L, r.value
+
+    x_f, l_f, L_f, raw_value = lax.cond(
+        have_lo & (kl_bound > 0), lambda _: sol_lo, fresh_solve, None)
+    value = jnp.where(kl_bound > 0, raw_value + kl_bound / theta_opt,
+                      raw_value)
     new_state = NMState(theta_high_init=hi_init, theta_low_init=lo_init,
                         theta_high=th_hi, theta_low=th_lo,
                         c_high=c_hi, c_low=c_lo, iter_current=it)
-    return NMResult(theta_opt=theta_opt, x=res.x, l=res.l, L=res.L,
+    return NMResult(theta_opt=theta_opt, x=x_f, l=l_f, L=L_f,
                     value=value, state=new_state)
 
 

@@ -180,3 +180,112 @@ def test_custom_vmap_dispatch_full_solve():
 
     v_scan = run_bank(ILEQGConfig(iter_max=5, ls_max_trials=63))
     np.testing.assert_allclose(v_pallas, v_scan, rtol=2e-4)
+
+
+# --- closed-loop folded evaluating mode ----------------------------------
+
+@pytest.fixture
+def folded_inputs():
+    from ratilqr_tpu.ops.approx import approximate_folded
+
+    dt = jnp.float32
+    prob = unicycle(N=T, dtype=dt)
+    x_ref = 0.1 * jax.random.normal(jax.random.key(2), (B, T + 1, 3), dt)
+    ls = 0.1 * jax.random.normal(jax.random.key(3), (B, T, 2), dt)
+    Ls = 0.2 * jax.random.normal(jax.random.key(4), (B, T, 2, 3), dt)
+    mus = jnp.array([0.0, 0.0, 1e-3, 0.0, 0.4], dt)
+    thetas = jnp.array([0.0, 0.01, 0.05, 0.1, 0.02], dt)
+    fa = jax.vmap(lambda xr, l, L, mu: approximate_folded(prob, xr, l, L,
+                                                          mu))(
+        x_ref, ls, Ls, mus)
+    return prob, fa, (x_ref, ls, Ls, mus), thetas
+
+
+def test_folded_kernel_matches_folded_scan(folded_inputs):
+    """The folded Pallas kernel (interpret) ≡ the folded scan core."""
+    from ratilqr_tpu.ops.riccati import _riccati_folded_core
+    from ratilqr_tpu.ops.riccati_pallas import riccati_bank_folded
+
+    _, fa, _, thetas = folded_inputs
+    bank = riccati_bank_folded(fa, thetas)
+    vals, fails = jax.vmap(_riccati_folded_core)(fa, thetas)
+    np.testing.assert_array_equal(np.asarray(bank.m_fail),
+                                  np.asarray(fails))
+    ok = ~np.asarray(fails)
+    np.testing.assert_allclose(np.asarray(bank.value)[ok],
+                               np.asarray(vals)[ok], rtol=1e-5)
+
+
+def test_folded_equals_unfolded_evaluation(folded_inputs):
+    """Fold identity: dp_evaluate_folded == dp_evaluate(approx, L, None)
+    with the same (x_ref, l, L, mu) — the closed-loop substitution
+    (FoldedApprox docstring) is exact up to reassociation."""
+    from ratilqr_tpu.ops.approx import approximate_model
+    from ratilqr_tpu.ops.riccati import (_riccati_core,
+                                         _riccati_folded_core)
+    from ratilqr_tpu.ops.rollout import rollout_feedback_with_jac
+
+    prob, fa, (x_ref, ls, Ls, mus), thetas = folded_inputs
+
+    def unfolded(xr, l, L, mu, th):
+        x, u, A, Bm = rollout_feedback_with_jac(prob, xr, l, L)
+        ap = approximate_model(prob, u, x, A, Bm)
+        dl0 = jnp.zeros_like(l)
+        dp, _, _, m_fail, _ = _riccati_core(ap, th, mu, L, dl0)
+        return dp.s[0], m_fail
+
+    v_ref, f_ref = jax.vmap(unfolded)(x_ref, ls, Ls, mus, thetas)
+    v_fold, f_fold = jax.vmap(_riccati_folded_core)(fa, thetas)
+    np.testing.assert_array_equal(np.asarray(f_fold), np.asarray(f_ref))
+    ok = ~np.asarray(f_ref)
+    np.testing.assert_allclose(np.asarray(v_fold)[ok],
+                               np.asarray(v_ref)[ok], rtol=5e-5)
+
+
+def test_folded_shared_noise_model_matches_batched(folded_inputs):
+    """SMEM shared-W folded kernel ≡ per-lane-W folded kernel."""
+    from ratilqr_tpu.ops.riccati_pallas import riccati_bank_folded
+
+    _, fa, _, thetas = folded_inputs
+    batched = riccati_bank_folded(fa, thetas)
+    fa_shared = fa._replace(W=fa.W[0], W_inv=fa.W_inv[0],
+                            logdet_W=fa.logdet_W[0])
+    shared = riccati_bank_folded(fa_shared, thetas)
+    np.testing.assert_array_equal(np.asarray(shared.m_fail),
+                                  np.asarray(batched.m_fail))
+    np.testing.assert_allclose(np.asarray(shared.value),
+                               np.asarray(batched.value), rtol=1e-6)
+
+
+def test_fold_candidate_eval_solver_equivalence():
+    """fold_candidate_eval=True must reproduce the default solver's
+    results (same trajectories/values within reassociation tolerance,
+    same iteration/trial counts) — the fold is a pure data-layout
+    transform of the candidate evaluation."""
+    import dataclasses
+
+    from ratilqr_tpu import ILEQGConfig
+    from ratilqr_tpu.solvers.ileqg import make_batched_solver
+
+    dt = jnp.float64
+    prob = unicycle(N=12, dtype=dt)
+    x0 = jnp.array([0.3, -0.2, 0.1], dt)
+    u0 = 0.05 * jnp.ones((12, 2), dt)
+    th = jnp.array([0.0, 0.01, 0.05, 1e6], dt)
+    base = ILEQGConfig(iter_max=20, adaptive_eps_init=True,
+                       eps_history_cap=0)
+    r0 = make_batched_solver(prob, base)(x0, u0, th)
+    r1 = make_batched_solver(
+        prob, dataclasses.replace(base, fold_candidate_eval=True))(
+        x0, u0, th)
+    np.testing.assert_array_equal(np.asarray(r1.failed),
+                                  np.asarray(r0.failed))
+    np.testing.assert_array_equal(np.asarray(r1.iterations),
+                                  np.asarray(r0.iterations))
+    np.testing.assert_array_equal(np.asarray(r1.eps_count),
+                                  np.asarray(r0.eps_count))
+    ok = ~np.asarray(r0.failed)
+    np.testing.assert_allclose(np.asarray(r1.value)[ok],
+                               np.asarray(r0.value)[ok], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r1.l)[ok], np.asarray(r0.l)[ok],
+                               atol=1e-10)
