@@ -135,54 +135,43 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
                 sol_hi, sol_lo, jnp.bool_(True), jnp.bool_(True))
 
-    def nm_step(carry):
-        """Up to ``speculation_depth`` consecutive ``step!``s (ref
-        :174-252) as ONE speculative bank.
+    S = config.speculation_depth
+    TREE = {1: 6, 2: 78, 3: 942}[S]
+    offs = (0, 6, 78)
 
-        One NM iteration can only ever query 6 θs — reflect, expand, both
-        contraction hypotheses, both shrink hypotheses — computable up
-        front from the sorted simplex.  Chaining: the iteration's outcome
-        places one of those 6 candidates in the high slot, and the next
-        sort either keeps or swaps it, so the depth-s candidate set is
-        6·12^(s-1) θs, all computable from values already in the tree.
-        Depth 3 = 6 + 72 + 864 = 942 lanes — exactly one (8, 128)-lane
-        Pallas tile, i.e. the same kernel wall-clock as a 6-lane bank, for
-        one third of the *sequentially dependent* dispatch chain.  The
-        replay below then walks the reference's decision sequence over
-        the precomputed costs; group index ``g`` tracks which subtree the
-        realized trajectory is in.  Values are identical at any depth
-        (same formulas over the same operands)."""
-        (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
-         have_hi, have_lo, it, done) = carry
-        S = config.speculation_depth
+    def cands(lo, hi, lo_init):
+        """The 6 θs one ``step!`` can query, from a sorted simplex
+        (elementwise over any batch of (lo, hi) pairs): [reflect,
+        expand, contract(¬keep_r), contract(keep_r), shrink(¬keep_r),
+        shrink(keep_r)] (ref :195-243; shrink is unclamped there)."""
         clamp = lambda th: jnp.maximum(lo_init, th)
+        th_r = clamp(lo + config.alpha * (lo - hi))
+        th_e = clamp(lo + config.beta * (th_r - lo))
+        th_c0 = clamp(lo + config.gamma * (hi - lo))
+        th_c1 = clamp(lo + config.gamma * (th_r - lo))
+        th_s0 = (hi + lo) / 2.0
+        th_s1 = (th_r + lo) / 2.0
+        return jnp.stack([th_r, th_e, th_c0, th_c1, th_s0, th_s1],
+                         axis=-1)
 
-        def cands(lo, hi):
-            """The 6 θs one ``step!`` can query, from a sorted simplex
-            (elementwise over any batch of (lo, hi) pairs): [reflect,
-            expand, contract(¬keep_r), contract(keep_r), shrink(¬keep_r),
-            shrink(keep_r)] (ref :195-243; shrink is unclamped there)."""
-            th_r = clamp(lo + config.alpha * (lo - hi))
-            th_e = clamp(lo + config.beta * (th_r - lo))
-            th_c0 = clamp(lo + config.gamma * (hi - lo))
-            th_c1 = clamp(lo + config.gamma * (th_r - lo))
-            th_s0 = (hi + lo) / 2.0
-            th_s1 = (th_r + lo) / 2.0
-            return jnp.stack([th_r, th_e, th_c0, th_c1, th_s0, th_s1],
-                             axis=-1)
+    def build_tree(lo0, hi0, lo_init):
+        """Candidate tree for up to ``speculation_depth`` consecutive
+        ``step!``s from the SORTED simplex (lo0, hi0).
 
-        # --- build the candidate tree from the sorted root simplex ------
-        swap0 = c_hi < c_lo
-        lo0 = jnp.where(swap0, th_hi, th_lo)
-        hi0 = jnp.where(swap0, th_lo, th_hi)
+        One NM iteration can only ever query 6 θs computable up front;
+        chaining over the 6 possible new vertices × 2 sort orders per
+        level gives 6 / 78 / 942 lanes at depth 1 / 2 / 3 — depth 3 is
+        exactly one (8, 128)-lane Pallas tile, i.e. the same kernel
+        wall-clock as a 6-lane bank for one third of the sequentially
+        dependent dispatch chain."""
         obit = jnp.asarray([False, True])
-        levels = [cands(lo0, hi0)]                          # (6,)
+        levels = [cands(lo0, hi0, lo_init)]                 # (6,)
         if S >= 2:
             # hypothesis (j, o): new high = level-1 candidate j; o = the
             # next sort swapped it into the low slot.
-            lo1 = jnp.where(obit[None, :], levels[0][:, None], lo0)  # (6,2)
+            lo1 = jnp.where(obit[None, :], levels[0][:, None], lo0)
             hi1 = jnp.where(obit[None, :], lo0, levels[0][:, None])
-            t2 = cands(lo1, hi1)                            # (6,2,6)
+            t2 = cands(lo1, hi1, lo_init)                   # (6,2,6)
             levels.append(t2.reshape(-1))
         if S >= 3:
             ob = obit.reshape(1, 1, 1, 2)
@@ -190,12 +179,18 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             lo1e = lo1[:, :, None, None]                    # (6,2,1,1)
             lo2 = jnp.where(ob, cand2, lo1e)                # (6,2,6,2)
             hi2 = jnp.where(ob, lo1e, cand2)
-            levels.append(cands(lo2, hi2).reshape(-1))      # (864,)
-        tree_thetas = jnp.concatenate(levels) if S > 1 else levels[0]
-        tree_costs, tree_sols = bank_eval(tree_thetas)
-        offs = (0, 6, 78)
+            levels.append(cands(lo2, hi2, lo_init).reshape(-1))  # (864,)
+        return jnp.concatenate(levels) if S > 1 else levels[0]
 
-        # --- replay the reference's decision sequence (ref :195-244) ----
+    def replay(tree_thetas, tree_costs, tree_sols, base, carry):
+        """Walk the reference's decision sequence (ref :195-244) over a
+        precomputed candidate tree starting at lane offset ``base``;
+        group index ``g`` tracks which subtree the realized trajectory
+        is in.  Values are identical at any depth (same formulas over
+        the same operands); a mid-group convergence freezes the
+        remaining speculative steps."""
+        (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+         have_hi, have_lo, it, done) = carry
         g = i32(0)
         for s in range(S):
             swp = c_hi < c_lo
@@ -205,8 +200,9 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             s_ch = jnp.where(swp, c_lo, c_hi)
             s_sol_lo = tsel(swp, sol_hi, sol_lo)
             s_have_lo = jnp.where(swp, have_hi, have_lo)
-            ths = lax.dynamic_slice(tree_thetas, (offs[s] + g * 6,), (6,))
-            cs = lax.dynamic_slice(tree_costs, (offs[s] + g * 6,), (6,))
+            at = base + offs[s] + g * 6
+            ths = lax.dynamic_slice(tree_thetas, (at,), (6,))
+            cs = lax.dynamic_slice(tree_costs, (at,), (6,))
             c_r, c_e = cs[0], cs[1]
 
             expand = c_r < s_cl
@@ -223,7 +219,7 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                 jnp.where(keep_r, jnp.where(shrink, i32(5), i32(3)),
                           jnp.where(shrink, i32(4), i32(2))))
             new_hi, new_ch = ths[j], cs[j]
-            cand_sol = tpick(tree_sols, offs[s] + g * 6 + j)
+            cand_sol = tpick(tree_sols, at + j)
 
             it_new = it + 1
             c_mean = (s_cl + new_ch) / 2.0
@@ -243,8 +239,6 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                     i=it_new, tr=ths[0], cr=c_r, e=expand, k=keep_r,
                     s=~expand & shrink, tl=s_lo, cl=s_cl, th=new_hi,
                     ch=new_ch, sd=stdev, lv=~done)
-            # Commit only while the loop is logically live: a mid-group
-            # convergence freezes the remaining speculative steps.
             live = ~done
             th_hi = jnp.where(live, new_hi, th_hi)
             th_lo = jnp.where(live, s_lo, th_lo)
@@ -261,6 +255,19 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             g = (g * 6 + j) * 2 + o
         return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
                 sol_lo, have_hi, have_lo, it, done)
+
+    def nm_step(carry):
+        """Up to ``speculation_depth`` consecutive ``step!``s (ref
+        :174-252) as ONE speculative bank: build the candidate tree from
+        the sorted root simplex, evaluate every lane at once, replay."""
+        (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
+         have_hi, have_lo, it, done) = carry
+        swap0 = c_hi < c_lo
+        lo0 = jnp.where(swap0, th_hi, th_lo)
+        hi0 = jnp.where(swap0, th_lo, th_hi)
+        tree_thetas = build_tree(lo0, hi0, lo_init)
+        tree_costs, tree_sols = bank_eval(tree_thetas)
+        return replay(tree_thetas, tree_costs, tree_sols, i32(0), carry)
 
     def run_nm(_):
         # initialize! (ref :164-168): θ reset from the persistent inits;
@@ -282,22 +289,51 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                            jnp.bool_(False), jnp.bool_(False)), None)
         elif have_c:
             # refresh_carried_costs: re-evaluate the carried simplex
-            # vertices at the INCOMING (x0, u_init) as one cheap 2-lane
-            # bank — on a warm MPC chain both stay feasible, so the
-            # 120-lane bootstrap ladder (whose first rung is this very
-            # pair) only runs, via lax.cond, when a vertex went
-            # infeasible.  Fixed point identical to the host path's
-            # None-reset → bootstrap (first finite rung wins).
-            cs, sols = bank_eval(jnp.stack([th_hi_init0, th_lo_init0]))
+            # vertices at the INCOMING (x0, u_init) — MERGED with the
+            # first speculation group into ONE bank: the first group's
+            # candidate trees depend on the refreshed pair only through
+            # its sort order, so both orderings' trees ride along
+            # (2 + 2·TREE lanes) and the refresh costs select the
+            # realized subtree, collapsing two sequentially dependent
+            # dispatch rounds into one.  On a warm MPC chain both
+            # vertices stay feasible; the 120-lane bootstrap ladder
+            # (whose first rung is this very pair) only runs, via
+            # lax.cond, when a vertex went infeasible.  Fixed point
+            # identical to the host path's None-reset → bootstrap
+            # (first finite rung wins).
+            tree_a = build_tree(th_lo_init0, th_hi_init0, th_lo_init0)
+            tree_b = build_tree(th_hi_init0, th_lo_init0, th_lo_init0)
+            merged = jnp.concatenate(
+                [jnp.stack([th_hi_init0, th_lo_init0]), tree_a, tree_b])
+            cs, sols = bank_eval(merged)
             both_ok = jnp.isfinite(cs[0]) & jnp.isfinite(cs[1])
+
+            def refreshed_first_round(_):
+                carry0 = (th_hi_init0, th_lo_init0, cs[0], cs[1],
+                          th_hi_init0, th_lo_init0, tpick(sols, 0),
+                          tpick(sols, 1), jnp.bool_(True), jnp.bool_(True),
+                          i32(0), jnp.zeros((), bool))
+                # tree_a was built for the unswapped ordering (lo = the
+                # θ_low vertex), tree_b for the swapped one; replay's own
+                # first-step sort recomputes the same bit.
+                base = jnp.where(cs[0] < cs[1], i32(2 + TREE), i32(2))
+                return replay(merged, cs, sols, base, carry0)
+
+            def bootstrap_round(_):
+                (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
+                 sol_lo, have_hi, have_lo) = bootstrap()
+                return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
+                        sol_hi, sol_lo, have_hi, have_lo, i32(0),
+                        jnp.zeros((), bool))
+
+            carry = lax.cond(both_ok, refreshed_first_round,
+                             bootstrap_round, None)
+            carry = lax.while_loop(lambda c: ~c[-1], nm_step, carry)
             (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
-             have_hi, have_lo) = lax.cond(
-                both_ok,
-                lambda _: (th_hi_init0, th_lo_init0, cs[0], cs[1],
-                           th_hi_init0, th_lo_init0, tpick(sols, 0),
-                           tpick(sols, 1), jnp.bool_(True),
-                           jnp.bool_(True)),
-                lambda _: bootstrap(), None)
+             have_hi, have_lo, it, _) = carry
+            theta_opt = th_lo
+            return (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init,
+                    lo_init, it, sol_lo, have_lo)
         else:
             (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
              have_hi, have_lo) = bootstrap()

@@ -45,6 +45,20 @@ def test_getting_started_blocks_execute():
     assert callable(ns["cost_fn"])
 
 
+def test_perf_tables_match_artifacts():
+    """README/BASELINE perf tables are GENERATED from the committed JSON
+    artifacts (benchmarks/make_tables.py); hand-edits or stale prose fail
+    here (VERDICT r3 item 5: one source of truth for perf claims)."""
+    import subprocess
+    import sys
+    root = DOCS.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "benchmarks" / "make_tables.py"),
+         "--check"], capture_output=True, text=True)
+    assert proc.returncode == 0, (
+        f"perf tables drifted from artifacts:\n{proc.stdout}{proc.stderr}")
+
+
 def _public_symbols():
     import ratilqr_tpu
     import ratilqr_tpu.mpc
