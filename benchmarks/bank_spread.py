@@ -13,6 +13,7 @@ Usage (on the TPU):  python benchmarks/bank_spread.py [n_reps]
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,7 +70,7 @@ def main(n_reps=3):
                 for _ in range(n_reps)]
         cells[str(batch)] = {
             "solves_per_s_min": round(min(reps), 1),
-            "solves_per_s_median": round(sorted(reps)[len(reps) // 2], 1),
+            "solves_per_s_median": round(statistics.median(reps), 1),
             "solves_per_s_max": round(max(reps), 1),
             "n_reps": n_reps,
         }

@@ -184,6 +184,11 @@ def approximate_folded(problem: RiskSensitiveProblem, x_ref: Array,
 
     c, W = problem.c, problem.W
     fold = L_traj is not None
+    if fold and mu is None:
+        raise ValueError(
+            "approximate_folded: mu is required when L_traj is given (it "
+            "enters Q̄ through the evaluating pass's H = … + μI term); "
+            "pass mu=0 explicitly for an unregularized evaluation")
     N = l_traj.shape[0]
     ks = jnp.arange(N)
 

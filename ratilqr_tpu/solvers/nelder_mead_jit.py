@@ -41,7 +41,12 @@ Two further schedule compressions on the same principle:
     value)`` rides the loop carry and the reference's final re-solve
     (ref :334-346) is replaced by the carried lane — except where no
     lane exists (the stale-c warm path's undisplaced θ_low; kl_bound = 0)
-    which falls back to a real solve via ``lax.cond``.
+    which falls back to a real solve via ``lax.cond``.  (Batched-caller
+    caveat: under ``vmap`` a lax.cond lowers to select-with-both-
+    branches, so fleets still pay the fresh solve — the saving applies
+    to the unbatched single-dispatch MPC path; the carried pytrees are
+    ~2.7 KB/lane, well under the carry-select-traffic threshold
+    documented in ``solvers/ileqg.py``.)
 
 Decision-for-decision parity with the host path is pinned by
 ``tests/test_bilevel.py`` (θ_opt/value/state to 1e-9 in f64), and
@@ -69,7 +74,7 @@ Array = jnp.ndarray
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
-                have_c: bool, state_arr, x0: Array, u_init: Array,
+                have_c: str, state_arr, x0: Array, u_init: Array,
                 kl_bound: Array) -> NMResult:
     dtype = x0.dtype
     kl_bound = jnp.asarray(kl_bound, dtype)
@@ -107,14 +112,18 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                          cost)
         return cost, (res.x, res.l, res.L, res.value)
 
-    def bootstrap():
-        """Both vertices' full λ-ladders in one bank; first finite wins —
-        outcome identical to the reference's sequential halving loop
-        (ref :283-304), bounded at ``_MAX_BOOTSTRAP`` halvings."""
+    def ladders():
         ks = lam ** jnp.arange(_MAX_BOOTSTRAP, dtype=dtype)
-        ladder_hi = th_hi_init0 * ks
-        ladder_lo = th_lo_init0 * ks
-        costs, sols = bank_eval(jnp.concatenate([ladder_hi, ladder_lo]))
+        return th_hi_init0 * ks, th_lo_init0 * ks
+
+    def bootstrap_from(costs, sols):
+        """Decode both vertices' λ-ladder evaluations; first finite wins —
+        outcome identical to the reference's sequential halving loop
+        (ref :283-304), bounded at ``_MAX_BOOTSTRAP`` halvings.  Pure
+        indexing over an already-evaluated bank (no control flow), so it
+        stays cheap when a batched caller evaluates the ladders
+        unconditionally."""
+        ladder_hi, ladder_lo = ladders()
         c_h, c_l = costs[:_MAX_BOOTSTRAP], costs[_MAX_BOOTSTRAP:]
 
         def first_finite(ladder, cs, init0, lane0):
@@ -134,6 +143,11 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             ladder_lo, c_l, th_lo_init0, i32(_MAX_BOOTSTRAP))
         return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
                 sol_hi, sol_lo, jnp.bool_(True), jnp.bool_(True))
+
+    def bootstrap():
+        ladder_hi, ladder_lo = ladders()
+        costs, sols = bank_eval(jnp.concatenate([ladder_hi, ladder_lo]))
+        return bootstrap_from(costs, sols)
 
     S = config.speculation_depth
     TREE = {1: 6, 2: 78, 3: 942}[S]
@@ -272,14 +286,28 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
     def run_nm(_):
         # initialize! (ref :164-168): θ reset from the persistent inits;
         # carried c values (if any) persist verbatim — the reference's
-        # ``isnothing`` cross-solve quirk (ref :283,294).
-        if have_c and not config.refresh_carried_costs:
-            # Carried c may be the concrete-NaN "missing" encoding from a
-            # kl_bound == 0 solve (see skip_nm).  Decode it IN-GRAPH: a
-            # host-side check costs one ~25 ms device_get round trip per
-            # warm re-plan on the tunneled runtime; lax.cond runs only the
-            # taken branch, so the bootstrap bank executes exactly when
-            # the host path's _missing_c would bootstrap.
+        # ``isnothing`` cross-solve quirk (ref :283,294).  Every branch
+        # below produces the full 12-tuple loop carry; the while_loop +
+        # return epilogue is shared.
+        if have_c == "traced" and not config.refresh_carried_costs:
+            # In-graph carried state (episode scans / fleet vmaps): the
+            # values are REQUIRED to be a real bootstrapped state
+            # (``bootstrap_state`` docstring) — a lax.cond on a per-lane
+            # NaN check would lower to select-with-both-branches under
+            # vmap and execute the dormant 120-lane bootstrap on every
+            # warm re-plan of every lane, so none is traced here.
+            carry = (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in,
+                     th_hi_init0, th_lo_init0, sol0, sol0,
+                     jnp.bool_(False), jnp.bool_(False), i32(0),
+                     jnp.zeros((), bool))
+        elif have_c == "concrete" and not config.refresh_carried_costs:
+            # Host-held carried c may be the concrete-NaN "missing"
+            # encoding from a kl_bound == 0 solve (see skip_nm).  Decode
+            # it IN-GRAPH: a host-side check costs one ~25 ms device_get
+            # round trip per warm re-plan on the tunneled runtime;
+            # lax.cond runs only the taken branch on this unbatched
+            # single-dispatch path, so the bootstrap bank executes
+            # exactly when the host path's _missing_c would bootstrap.
             missing = jnp.isnan(c_hi_in) | jnp.isnan(c_lo_in)
             (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
              have_hi, have_lo) = lax.cond(
@@ -287,58 +315,49 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
                 lambda _: (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in,
                            th_hi_init0, th_lo_init0, sol0, sol0,
                            jnp.bool_(False), jnp.bool_(False)), None)
-        elif have_c:
-            # refresh_carried_costs: re-evaluate the carried simplex
-            # vertices at the INCOMING (x0, u_init) — MERGED with the
-            # first speculation group into ONE bank: the first group's
-            # candidate trees depend on the refreshed pair only through
-            # its sort order, so both orderings' trees ride along
-            # (2 + 2·TREE lanes) and the refresh costs select the
-            # realized subtree, collapsing two sequentially dependent
-            # dispatch rounds into one.  On a warm MPC chain both
-            # vertices stay feasible; the 120-lane bootstrap ladder
-            # (whose first rung is this very pair) only runs, via
-            # lax.cond, when a vertex went infeasible.  Fixed point
-            # identical to the host path's None-reset → bootstrap
-            # (first finite rung wins).
+            carry = (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
+                     sol_lo, have_hi, have_lo, i32(0),
+                     jnp.zeros((), bool))
+        elif have_c != "none":
+            # refresh_carried_costs: ONE branch-free bank covers every
+            # outcome — both vertices' full bootstrap λ-ladders (whose
+            # FIRST rungs are the refreshed pair itself, ref :283-304)
+            # plus both sort orderings' first speculation trees:
+            #
+            #   [ladder_hi (60) | ladder_lo (60) | tree_a | tree_b]
+            #
+            # If both refreshed vertices are feasible, the replay runs
+            # the first speculation group off the matching tree (the
+            # refresh round and the first NM rounds cost ONE dispatch);
+            # otherwise the ladder lanes decode into the standard
+            # bootstrap.  Both decodes are pure indexing over the same
+            # evaluated bank, so a vmapped fleet pays no dormant-branch
+            # tax (no lax.cond anywhere on this path).
+            ladder_hi, ladder_lo = ladders()
             tree_a = build_tree(th_lo_init0, th_hi_init0, th_lo_init0)
             tree_b = build_tree(th_hi_init0, th_lo_init0, th_lo_init0)
-            merged = jnp.concatenate(
-                [jnp.stack([th_hi_init0, th_lo_init0]), tree_a, tree_b])
+            merged = jnp.concatenate([ladder_hi, ladder_lo, tree_a,
+                                      tree_b])
             cs, sols = bank_eval(merged)
-            both_ok = jnp.isfinite(cs[0]) & jnp.isfinite(cs[1])
+            c_hi0, c_lo0 = cs[0], cs[_MAX_BOOTSTRAP]
+            both_ok = jnp.isfinite(c_hi0) & jnp.isfinite(c_lo0)
 
-            def refreshed_first_round(_):
-                carry0 = (th_hi_init0, th_lo_init0, cs[0], cs[1],
-                          th_hi_init0, th_lo_init0, tpick(sols, 0),
-                          tpick(sols, 1), jnp.bool_(True), jnp.bool_(True),
-                          i32(0), jnp.zeros((), bool))
-                # tree_a was built for the unswapped ordering (lo = the
-                # θ_low vertex), tree_b for the swapped one; replay's own
-                # first-step sort recomputes the same bit.
-                base = jnp.where(cs[0] < cs[1], i32(2 + TREE), i32(2))
-                return replay(merged, cs, sols, base, carry0)
-
-            def bootstrap_round(_):
-                (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
-                 sol_lo, have_hi, have_lo) = bootstrap()
-                return (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init,
-                        sol_hi, sol_lo, have_hi, have_lo, i32(0),
-                        jnp.zeros((), bool))
-
-            carry = lax.cond(both_ok, refreshed_first_round,
-                             bootstrap_round, None)
-            carry = lax.while_loop(lambda c: ~c[-1], nm_step, carry)
-            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
-             have_hi, have_lo, it, _) = carry
-            theta_opt = th_lo
-            return (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init,
-                    lo_init, it, sol_lo, have_lo)
+            carry0 = (th_hi_init0, th_lo_init0, c_hi0, c_lo0,
+                      th_hi_init0, th_lo_init0, tpick(sols, 0),
+                      tpick(sols, _MAX_BOOTSTRAP), jnp.bool_(True),
+                      jnp.bool_(True), i32(0), jnp.zeros((), bool))
+            # tree_a was built for the unswapped ordering (lo = the
+            # θ_low vertex), tree_b for the swapped one; replay's own
+            # first-step sort recomputes the same bit.
+            base = jnp.where(c_hi0 < c_lo0,
+                             i32(2 * _MAX_BOOTSTRAP + TREE),
+                             i32(2 * _MAX_BOOTSTRAP))
+            refreshed = replay(merged, cs, sols, base, carry0)
+            boot = bootstrap_from(cs, sols) + (i32(0),
+                                               jnp.zeros((), bool))
+            carry = tsel(both_ok, refreshed, boot)
         else:
-            (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
-             have_hi, have_lo) = bootstrap()
-        carry = (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi,
-                 sol_lo, have_hi, have_lo, i32(0), jnp.zeros((), bool))
+            carry = bootstrap() + (i32(0), jnp.zeros((), bool))
         carry = lax.while_loop(lambda c: ~c[-1], nm_step, carry)
         (th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, sol_hi, sol_lo,
          have_hi, have_lo, it, _) = carry
@@ -353,8 +372,8 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         # bootstraps (the host path's None-preserving behavior).
         missing = jnp.asarray(jnp.nan, dtype)
         return (jnp.asarray(0.0, dtype), th_hi_init0, th_lo_init0,
-                c_hi_in if have_c else missing,
-                c_lo_in if have_c else missing,
+                c_hi_in if have_c != "none" else missing,
+                c_lo_in if have_c != "none" else missing,
                 th_hi_init0, th_lo_init0, i32(0), sol0, jnp.bool_(False))
 
     (theta_opt, th_hi, th_lo, c_hi, c_lo, hi_init, lo_init, it, sol_lo,
@@ -403,26 +422,36 @@ def solve(problem: RiskSensitiveProblem, config: NelderMeadConfig,
             and float(kl_bound) < 0):
         raise ValueError("KL divergence bound must be non-negative")
 
-    # ``have_c`` is structural only (None = fresh host state); the
-    # concrete-NaN "missing" encoding from a kl_bound == 0 solve is decoded
-    # IN-GRAPH by ``run_nm`` (lax.cond → bootstrap), so this wrapper does
-    # zero device work — no eager ops, no round trips (each costs ~25 ms
-    # on the tunneled backend and this runs on every warm MPC re-plan).
+    # ``have_c`` is structural, three-valued: "none" (fresh host state →
+    # bootstrap), "concrete" (host-held carried values — may be the
+    # concrete-NaN "missing" encoding from a kl_bound == 0 solve, decoded
+    # IN-GRAPH by ``run_nm``'s lax.cond so this wrapper does zero device
+    # work; a host-side check costs one ~25 ms device_get round trip per
+    # warm re-plan on the tunneled backend), or "traced" (in-graph state
+    # inside a scan/vmap — episode fleets — where the values are REQUIRED
+    # to be a real bootstrapped state, see ``bootstrap_state``: a per-lane
+    # NaN cond would lower to select-with-both-branches under vmap and run
+    # the dormant 120-lane bootstrap on every warm re-plan of every lane).
     ch, cl = state.c_high, state.c_low
-    have_c = not (ch is None or cl is None)
+    if ch is None or cl is None:
+        have_c = "none"
+    elif any(isinstance(v, jax.core.Tracer) for v in (ch, cl)):
+        have_c = "traced"
+    else:
+        have_c = "concrete"
 
     def _h(v):
-        # Host-constant conversion without touching the device: previous-
-        # solve state arrives as device arrays (passed through untouched);
-        # fresh init_state fields are Python floats.
+        # Cast to the solve dtype without host round trips: device arrays
+        # and tracers get an (elided-when-noop) astype; fresh init_state
+        # fields are Python floats.
         if isinstance(v, (jax.Array, jax.core.Tracer)):
-            return v
+            return v if v.dtype == dtype else v.astype(dtype)
         return np.asarray(v, dtype)
 
     zero = np.zeros((), dtype)
     state_arr = (_h(state.theta_high_init), _h(state.theta_low_init),
-                 _h(ch) if have_c else zero,
-                 _h(cl) if have_c else zero)
+                 _h(ch) if have_c != "none" else zero,
+                 _h(cl) if have_c != "none" else zero)
     return _solve_impl(problem, config, have_c, state_arr, x0, u_init,
                        kl_bound)
 
