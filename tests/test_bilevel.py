@@ -310,6 +310,27 @@ def test_nm_jit_speculation_depth_parity():
                 _nm_state_allclose(rj.state, rh.state)
 
 
+def test_nm_jit_casts_carried_state_dtype():
+    """A warm NMState carried from an f64 solve must work in an f32
+    solve (of a matching f32 problem): the wrapper casts carried device
+    arrays to the solve dtype (previously the stale-c lax.cond failed
+    its branch-type check on mixed-dtype branches)."""
+    from ratilqr_tpu.models import nonlinear_toy
+    from ratilqr_tpu.solvers import nelder_mead_jit
+
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig(iter_max=5)
+    r64 = nelder_mead_jit.solve(prob, config, nelder_mead.init_state(config),
+                                x0, u0, kl_bound=KL_BOUND)
+    prob32 = nonlinear_toy(N=10, dtype=jnp.float32)
+    x32 = jnp.asarray(x0, jnp.float32)
+    u32 = jnp.asarray(u0, jnp.float32)
+    r32 = nelder_mead_jit.solve(prob32, config, r64.state, x32, u32,
+                                kl_bound=KL_BOUND)
+    assert r32.value.dtype == jnp.float32
+    assert np.isfinite(float(r32.value))
+
+
 def test_host_path_decodes_jit_nan_state():
     """A kl_bound == 0 jit solve round-trips fresh state as concrete-NaN
     c_high/c_low; the host path must decode that as "missing" and run the
