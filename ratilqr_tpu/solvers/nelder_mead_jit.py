@@ -290,16 +290,45 @@ def _solve_impl(problem: RiskSensitiveProblem, config: NelderMeadConfig,
         # below produces the full 12-tuple loop carry; the while_loop +
         # return epilogue is shared.
         if have_c == "traced" and not config.refresh_carried_costs:
-            # In-graph carried state (episode scans / fleet vmaps): the
-            # values are REQUIRED to be a real bootstrapped state
-            # (``bootstrap_state`` docstring) — a lax.cond on a per-lane
-            # NaN check would lower to select-with-both-branches under
-            # vmap and execute the dormant 120-lane bootstrap on every
-            # warm re-plan of every lane, so none is traced here.
-            carry = (th_hi_init0, th_lo_init0, c_hi_in, c_lo_in,
-                     th_hi_init0, th_lo_init0, sol0, sol0,
-                     jnp.bool_(False), jnp.bool_(False), i32(0),
-                     jnp.zeros((), bool))
+            # In-graph carried state (episode scans / fleet vmaps).  A
+            # lax.cond on a per-lane NaN check would lower to
+            # select-with-both-branches under vmap and execute the
+            # dormant 120-lane bootstrap ladders on every warm re-plan
+            # of every lane, so instead ONE merged bank evaluates both
+            # init vertices plus both sort orders' first speculation
+            # trees:
+            #
+            #   [vertex_hi, vertex_lo | tree_a | tree_b]
+            #
+            # and the loop enters through ``replay`` on the matching
+            # tree, exactly as the refresh path does.  With valid
+            # carried c this is decision-identical to running the first
+            # ``nm_step`` (same tree; the carried costs drive the sort)
+            # at the same sequential bank count — the two vertex lanes
+            # additionally give real carried solutions, so the
+            # speculative final solve covers the never-displaced-θ_low
+            # case too.  With the NaN "missing" encoding (a caller who
+            # chained a kl_bound==0 solve without ``bootstrap_state`` —
+            # round-4 advisor finding), the evaluated vertex costs
+            # substitute per vertex, which IS the host feasibility
+            # bootstrap whenever the inits are feasible at the first
+            # ladder rung (the common case); inits infeasible at rung 0
+            # keep Inf vertices that later finite candidates displace
+            # (bounded by iter_max) rather than replaying the full
+            # halving ladder.
+            tree_a = build_tree(th_lo_init0, th_hi_init0, th_lo_init0)
+            tree_b = build_tree(th_hi_init0, th_lo_init0, th_lo_init0)
+            merged = jnp.concatenate(
+                [jnp.stack([th_hi_init0, th_lo_init0]), tree_a, tree_b])
+            cs, sols = bank_eval(merged)
+            c_hi0 = jnp.where(jnp.isnan(c_hi_in), cs[0], c_hi_in)
+            c_lo0 = jnp.where(jnp.isnan(c_lo_in), cs[1], c_lo_in)
+            carry0 = (th_hi_init0, th_lo_init0, c_hi0, c_lo0,
+                      th_hi_init0, th_lo_init0, tpick(sols, 0),
+                      tpick(sols, 1), jnp.bool_(True), jnp.bool_(True),
+                      i32(0), jnp.zeros((), bool))
+            base = jnp.where(c_hi0 < c_lo0, i32(2 + TREE), i32(2))
+            carry = replay(merged, cs, sols, base, carry0)
         elif have_c == "concrete" and not config.refresh_carried_costs:
             # Host-held carried c may be the concrete-NaN "missing"
             # encoding from a kl_bound == 0 solve (see skip_nm).  Decode

@@ -36,8 +36,10 @@ import pytest  # noqa: E402
 
 SLOW_MODULES = {
     "test_parity_fuzz",              # random-problem oracle/NM fuzzing
+    "test_nm_jit_fuzz",              # NM-jit decision-replay fuzz (VERDICT r4 #6)
     "test_riccati_parallel",         # associative-scan experimental backend
     "test_distributed_multiprocess", # spawns a second jax.distributed proc
+    "test_multihost_bench",          # subprocess runs of benchmarks/multihost.py
     "test_oracle_bilevel",           # eager outer-loop oracles, many solves
     "test_golden",                   # frozen-file replay of the eager oracles
 }

@@ -177,6 +177,42 @@ def test_nelder_mead_jit_kl_zero_preserves_missing_c():
     np.testing.assert_allclose(float(rj.value), float(rh.value), rtol=1e-9)
 
 
+def test_nelder_mead_jit_traced_nan_c_self_heals():
+    # Round-4 advisor: chaining state from a kl_bound==0 solve into a
+    # kl>0 solve INSIDE one jit (traced state, no bootstrap_state) hands
+    # the NM loop the NaN "missing" c encoding.  The traced path cannot
+    # afford a per-lane bootstrap cond (vmap runs both branches), but it
+    # must not silently run NM decisions over NaN either: the defensive
+    # NaN→Inf decode makes the carried vertices "infeasible", which the
+    # loop self-heals from (first finite candidate displaces them), so
+    # the chained solve still converges to the fresh-solve optimum.
+    from ratilqr_tpu.solvers import nelder_mead_jit
+    prob, x0, u0 = _fixture()
+    config = NelderMeadConfig()
+
+    @jax.jit
+    def chained(x0, u0):
+        r0 = nelder_mead_jit.solve(prob, config,
+                                   nelder_mead.init_state(config),
+                                   x0, u0, kl_bound=0.0)
+        # r0.state.c_* are traced NaNs here — the documented-invalid
+        # input the decode guards.
+        r1 = nelder_mead_jit.solve(prob, config, r0.state, x0, u0,
+                                   kl_bound=KL_BOUND)
+        return r1
+
+    r1 = chained(x0, u0)
+    assert np.isfinite(float(r1.theta_opt))
+    assert float(r1.theta_opt) > 0.0
+    assert np.isfinite(float(r1.value))
+    assert np.isfinite(float(r1.state.c_low))
+    # Same optimum as a properly-bootstrapped fresh solve (NM converges
+    # to the same θ_opt from Inf vertices; decision *sequence* differs).
+    rh = nelder_mead.solve(prob, config, nelder_mead.init_state(config),
+                           x0, u0, kl_bound=KL_BOUND)
+    np.testing.assert_allclose(float(r1.value), float(rh.value), rtol=2e-2)
+
+
 def test_nelder_mead_jit_warm_start_parity():
     # Second solve carries c_high/c_low verbatim (the reference's
     # `isnothing` cross-solve quirk, nm….jl:283,294) — both paths must
