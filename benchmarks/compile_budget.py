@@ -147,6 +147,9 @@ def child(entry):
     entries_after = (set(os.listdir(CACHE_DIR))
                      if os.path.isdir(CACHE_DIR) else set())
     wrote = sorted(entries_after - entries_before)
+    # An auxiliary >0.5 s compile (a convert_element_type through a
+    # congested tunnel) also writes an entry; report the names so a
+    # trivial write isn't mistaken for a main-program miss.
     print(json.dumps({
         "entry": entry,
         "first_call_s": round(t1 - t0, 2),
@@ -154,6 +157,7 @@ def child(entry):
         "process_setup_s": round(t0 - t_start, 2),
         "cache_hit": not wrote,
         "new_cache_entries": len(wrote),
+        "new_entry_names": [w.split("-")[0] for w in wrote],
     }))
 
 

@@ -79,6 +79,14 @@ class ILEQGConfig:
         for free.  Kept as an opt-in (default False) because the
         trade-off is shape-dependent; measured record in
         docs/performance.md "Warm re-plan device budget".
+      fused_candidate_eval: evaluate line-search candidates as ONE fused
+        Mosaic program (rollout + quadratize + fold + folded DP,
+        ``ops/candidate_pallas.py``) when the problem carries a
+        ``tile_model`` and the folded stack fits VMEM; the rollout/
+        approximation stacks never touch HBM.  Semantically identical to
+        the folded XLA path (pinned by tests/test_candidate_fused.py).
+        Off-TPU, or without a tile model, the flag falls back to the
+        folded XLA composition per candidate.
     """
     mu_min: float = 1e-6
     delta_0: float = 2.0
@@ -93,6 +101,7 @@ class ILEQGConfig:
     scan_unroll: int = 1
     ls_chunk: int = 1
     fold_candidate_eval: bool = False
+    fused_candidate_eval: bool = False
     verbose: bool = False
 
     def __post_init__(self):

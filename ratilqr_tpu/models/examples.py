@@ -46,6 +46,7 @@ def lqr_problem(N: int = 10, noise: float = 1.0,
     """Linear dynamics + time-invariant quadratic costs — the fixture whose
     iLQG gains must equal the textbook LQR Riccati solution
     (``test/ileqg_test.jl:68-69,87-106``)."""
+    from ratilqr_tpu.ops.tile_model import lqr_tile_model
     eye = np.eye(2)
     return RiskSensitiveProblem(
         f=lambda x, u: x + u,
@@ -53,6 +54,7 @@ def lqr_problem(N: int = 10, noise: float = 1.0,
         h=lambda x: 0.5 * (x @ x),
         W=lambda k: jnp.asarray(noise * eye, dtype),
         N=N,
+        tile_model=lqr_tile_model(),
     )
 
 
@@ -118,9 +120,11 @@ def unicycle(N: int = 100, dt: float = 0.1, noise: float = 1e-3,
         dx = x - jnp.asarray(g, x.dtype)
         return 10.0 * (dx @ dx)
 
+    from ratilqr_tpu.ops.tile_model import unicycle_tile_model
     return RiskSensitiveProblem(f=f, c=c, h=h,
                                 W=lambda k: jnp.asarray(W_np, dtype), N=N,
-                                f_jac=f_jac if analytic_jacobians else None)
+                                f_jac=f_jac if analytic_jacobians else None,
+                                tile_model=unicycle_tile_model(dt, goal))
 
 
 def cartpole(N: int = 50, dt: float = 0.05, noise: float = 1e-4,

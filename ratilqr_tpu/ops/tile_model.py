@@ -1,0 +1,154 @@
+"""Tile-model protocol: closed-form model callbacks for in-kernel tracing.
+
+The fused line-search candidate kernel (``ops/candidate_pallas.py``) runs
+the rollout + quadratization INSIDE a Mosaic program, where the state is a
+``(n, 8, 128)`` lane-tile stack rather than an ``(n,)`` vector and no AD
+is available.  A :class:`TileModel` supplies the three closed-form pieces
+the kernel needs, written against *component-indexed elementwise* ops only
+(``x[0]``, ``+``, ``*``, ``jnp.sin`` — anything that maps a scalar formula
+over an ``(8, 128)`` tile; matrix ops like ``@`` are out).  The formulas
+must equal what the XLA path derives by AD from ``problem.f``/``c``/``h``
+(``ops/approx.approximate_model``) — equality is pinned by
+``tests/test_candidate_fused.py``.
+
+This is the first cut of the "user callbacks traced into the kernel"
+obligation (round-4 VERDICT item 1): models opt in by attaching a
+``tile_model`` to their :class:`~ratilqr_tpu.problems.RiskSensitiveProblem`
+(the example models do, ``models/examples.py``); problems without one
+transparently keep the XLA candidate path.
+
+Shapes inside the kernel (lane tile = one (8, 128) f32 VPU register):
+  - state ``x``: ``(n, 8, 128)``; control ``u``: ``(m, 8, 128)``.
+  - matrices: ``(p, q, 8, 128)`` blocks, elementwise over the lane tile.
+  - time index ``k``: traced i32 scalar (cast before mixing with floats).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def mat(rows):
+    """Build a (p, q, 8, 128) block from a nested list of (8, 128) tiles."""
+    return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+
+def const_mat(np_mat, like: Array) -> Array:
+    """Lift a constant numpy matrix to a (p, q, 8, 128) block."""
+    return mat([[jnp.full_like(like, float(v)) for v in row]
+                for row in np_mat])
+
+
+@dataclasses.dataclass(frozen=True)
+class TileModel:
+    """Closed-form model pieces for in-kernel rollout + quadratization.
+
+    Attributes:
+      f_jac_tile: ``(x, u) -> (x_next, A, B)`` — dynamics step + Jacobians
+        ``A = dx'/dx (n, n, ·)``, ``B = dx'/du (n, m, ·)``.  Must equal the
+        problem's ``f``/``f_jac`` (or AD of ``f``) formulas.
+      quad_tile: ``(k, x, u) -> (q, q_vec, Q, r, R, P)`` — stage cost and
+        its exact first/second derivatives (``q (·)``, ``q_vec (n, ·)``,
+        ``Q (n, n, ·)``, ``r (m, ·)``, ``R (m, m, ·)``, ``P = c_ux
+        (m, n, ·)``).  ``k`` is the traced time index (i32 scalar).
+      term_tile: ``(x) -> (q, q_vec, Q)`` — terminal cost ``h`` and
+        derivatives.
+    """
+    f_jac_tile: Callable
+    quad_tile: Callable
+    term_tile: Callable
+
+
+# --- tile models for the example problems (models/examples.py) -----------
+
+def unicycle_tile_model(dt: float, goal) -> TileModel:
+    """Tile model for :func:`ratilqr_tpu.models.unicycle` — same formulas
+    as its ``f``/``f_jac``/``c``/``h`` (cost is quadratic, so the
+    closed-form derivatives equal the XLA path's AD exactly)."""
+    gx, gy = float(goal[0]), float(goal[1])
+
+    def f_jac_tile(x, u):
+        px, py, th = x[0], x[1], x[2]
+        v, om = u[0], u[1]
+        s, co = jnp.sin(th), jnp.cos(th)
+        one = jnp.ones_like(th)
+        zero = jnp.zeros_like(th)
+        x_next = jnp.stack([px + dt * v * co, py + dt * v * s,
+                            th + dt * om])
+        A = mat([[one, zero, -dt * v * s],
+                 [zero, one, dt * v * co],
+                 [zero, zero, one]])
+        B = mat([[dt * co, zero],
+                 [dt * s, zero],
+                 [zero, dt * one]])
+        return x_next, A, B
+
+    def quad_tile(k, x, u):
+        del k
+        dx = jnp.stack([x[0] - gx, x[1] - gy, x[2]])
+        q = 0.05 * (dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]) \
+            + 0.05 * (u[0] * u[0] + u[1] * u[1])
+        q_vec = 0.1 * dx
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        Q = mat([[0.1 * one, zero, zero],
+                 [zero, 0.1 * one, zero],
+                 [zero, zero, 0.1 * one]])
+        r = 0.1 * u
+        R = mat([[0.1 * one, zero], [zero, 0.1 * one]])
+        P = mat([[zero, zero, zero], [zero, zero, zero]])
+        return q, q_vec, Q, r, R, P
+
+    def term_tile(x):
+        dx = jnp.stack([x[0] - gx, x[1] - gy, x[2]])
+        q = 10.0 * (dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2])
+        q_vec = 20.0 * dx
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        Q = mat([[20.0 * one, zero, zero],
+                 [zero, 20.0 * one, zero],
+                 [zero, zero, 20.0 * one]])
+        return q, q_vec, Q
+
+    return TileModel(f_jac_tile=f_jac_tile, quad_tile=quad_tile,
+                     term_tile=term_tile)
+
+
+def lqr_tile_model() -> TileModel:
+    """Tile model for :func:`ratilqr_tpu.models.lqr_problem`
+    (``f = x + u``, ``c = 0.5 x·x + u·u``, ``h = 0.5 x·x``)."""
+
+    def f_jac_tile(x, u):
+        one = jnp.ones_like(x[0])
+        zero = jnp.zeros_like(x[0])
+        x_next = jnp.stack([x[0] + u[0], x[1] + u[1]])
+        A = mat([[one, zero], [zero, one]])
+        B = mat([[one, zero], [zero, one]])
+        return x_next, A, B
+
+    def quad_tile(k, x, u):
+        del k
+        q = 0.5 * (x[0] * x[0] + x[1] * x[1]) + (u[0] * u[0] + u[1] * u[1])
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = jnp.stack([x[0], x[1]])
+        Q = mat([[one, zero], [zero, one]])
+        r = 2.0 * u
+        R = mat([[2.0 * one, zero], [zero, 2.0 * one]])
+        P = mat([[zero, zero], [zero, zero]])
+        return q, q_vec, Q, r, R, P
+
+    def term_tile(x):
+        q = 0.5 * (x[0] * x[0] + x[1] * x[1])
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = jnp.stack([x[0], x[1]])
+        Q = mat([[one, zero], [zero, one]])
+        return q, q_vec, Q
+
+    return TileModel(f_jac_tile=f_jac_tile, quad_tile=quad_tile,
+                     term_tile=term_tile)

@@ -55,6 +55,11 @@ class RiskSensitiveProblem(OptimalControlProblem):
         reference's ``f_returns_jacobian`` protocol
         (``optimal_control_problems.jl:21-26``, ``ileqg.jl:160-162``); when
         absent, Jacobians come from ``jax.jacfwd``.
+      tile_model: optional :class:`~ratilqr_tpu.ops.tile_model.TileModel`
+        — closed-form model pieces enabling the fused in-kernel
+        line-search candidate evaluation on TPU
+        (``ops/candidate_pallas.py``); must agree with ``f``/``c``/``h``.
+        Problems without one keep the XLA candidate path.
     """
 
     f: Callable[[Array, Array], Array]
@@ -63,6 +68,7 @@ class RiskSensitiveProblem(OptimalControlProblem):
     W: Callable[[Array], Array]
     N: int
     f_jac: Optional[Callable[[Array, Array], tuple]] = None
+    tile_model: Optional[object] = None
 
     def __post_init__(self):
         if self.N <= 0:

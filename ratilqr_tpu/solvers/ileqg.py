@@ -155,7 +155,15 @@ def _line_search(problem: RiskSensitiveProblem, config: ILEQGConfig,
         identity in ``FoldedApprox``).
         """
         l_cand = state.l + eps * dl
-        if config.fold_candidate_eval:
+        if config.fused_candidate_eval:
+            # Whole trial as one Mosaic program on TPU banks (rollout +
+            # quadratize + fold + folded DP — the intermediate stacks
+            # live in VMEM, not HBM); XLA folded path off-TPU.
+            from ratilqr_tpu.ops.candidate_pallas import candidate_value
+            value_new, fail = candidate_value(problem, x_ref, l_cand,
+                                              state.L, state.mu, theta,
+                                              unroll=config.scan_unroll)
+        elif config.fold_candidate_eval:
             folded = approximate_folded(problem, x_ref, l_cand, state.L,
                                         state.mu,
                                         unroll=config.scan_unroll)
