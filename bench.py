@@ -92,8 +92,14 @@ def _run():
     # eps_history_cap=0 turns off per-lane trial diagnostics (eps_count is
     # still exact) — nobody reads 2048 lanes of (ε, Δvalue) pairs, and the
     # buffer otherwise dominates the line-search while-carry.
+    # fused_candidate_eval: the line-search trial (and the initialize!
+    # evaluation) runs as ONE Mosaic program with the rollout/
+    # approximation stacks in VMEM (ops/candidate_pallas.py) — measured
+    # +30% composed at this bank (626k vs 480k warm solves/s, round-5
+    # interleaved A/B; equivalence pinned by tests/test_candidate_fused).
     config = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
-                         adaptive_eps_init=True, eps_history_cap=0)
+                         adaptive_eps_init=True, eps_history_cap=0,
+                         fused_candidate_eval=True)
 
     bank = make_batched_solver(problem, config)
     x0 = jnp.zeros(3, dtype)

@@ -337,7 +337,17 @@ def _initialize(problem: RiskSensitiveProblem, config: ILEQGConfig,
     N = u_init.shape[0]
     n, m = x0.shape[0], u_init.shape[1]
     L = jnp.zeros((N, m, n), dtype)
-    if config.fold_candidate_eval:
+    if config.fused_candidate_eval:
+        # Same fused kernel as the line-search trials: with L = 0 the
+        # closed-loop candidate degenerates to the open-loop u_init
+        # evaluation this initialize! computes (x̄ only enters through
+        # L(x − x̄), and x starts at x̄_0 = x0).
+        from ratilqr_tpu.ops.candidate_pallas import candidate_value
+        x_ref0 = jnp.broadcast_to(x0, (N + 1, n))
+        value0, fail = candidate_value(problem, x_ref0, u_init, L,
+                                       jnp.zeros((), dtype), theta,
+                                       unroll=config.scan_unroll)
+    elif config.fold_candidate_eval:
         # L = 0 evaluation on the folded fast path (the fold degenerates
         # to the raw (q, q_vec, Q, A) stack — no control blocks
         # materialize or stream into the kernel).
