@@ -54,7 +54,8 @@ def main(n_reps=3):
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
     config = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
-                         adaptive_eps_init=True, eps_history_cap=0)
+                         adaptive_eps_init=True, eps_history_cap=0,
+                         fused_candidate_eval=True)
     bank = make_batched_solver(problem, config)
     x0 = jnp.zeros(3, dtype)
     x_mpc = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)
@@ -79,7 +80,7 @@ def main(n_reps=3):
     out = {
         "protocol": "each rep = best-of-5 single-dispatch warm bank "
                     "latency (bench.py protocol); unicycle T=100, "
-                    "adaptive eps, eps_history_cap=0, scan_unroll=10",
+                    "adaptive eps, eps_history_cap=0, scan_unroll=10, fused_candidate_eval",
         "cells": cells,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -49,7 +49,8 @@ K_LO, K_HI = 8, 40
 def main():
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
-    ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0)
+    ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
+                        fused_candidate_eval=True)
     sim = make_gaussian_simulator(problem)
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)

@@ -48,7 +48,8 @@ def bench_ileqg_throughput(batch=2048, T=100):
     out = {}
     for tag, adaptive in (("", False), ("_adaptive", True)):
         bank = make_batched_solver(problem, ILEQGConfig(
-            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=adaptive))
+            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=adaptive,
+            fused_candidate_eval=True))
         stats = time_fn(lambda th: bank(x0, u0, th).value, thetas, reps=3)
         out[f"ileqg_cold{tag}_solves_per_s"] = batch / stats["best"]
         out[f"ileqg_cold{tag}_bank_latency_ms"] = stats["best"] * 1e3
@@ -82,6 +83,7 @@ def bench_ratilqr_mpc(T=30, steps=10):
             num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
             ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
                               adaptive_eps_init=adaptive,
+                              fused_candidate_eval=True,
                               eps_history_cap=0 if adaptive else 256))
         if not adaptive:  # host-orchestrated path: fixed-ε config only
             solver = RATiLQRSolver(problem, config)
@@ -146,6 +148,7 @@ def bench_nm_mpc(T=30, steps=10):
             refresh_carried_costs=refresh, speculation_depth=depth,
             ileqg=ILEQGConfig(iter_max=30, scan_unroll=10,
                               adaptive_eps_init=adaptive,
+                              fused_candidate_eval=True,
                               eps_history_cap=0 if adaptive else 256))
         variants = [("nm_jit", nelder_mead_jit.solve)]
         if cfg_tag == "":  # host-orchestrated path: reference config only
@@ -188,7 +191,8 @@ def bench_fleet_episodes(T=30, steps=15, seeds=256):
 
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
-    cfg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0)
+    cfg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
+                      fused_candidate_eval=True)
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
     keys = jax.random.split(jax.random.key(0), seeds)
@@ -233,7 +237,8 @@ def bench_ratilqr_fleet(T=30, steps=10, seeds=64):
     problem = unicycle(N=T, dtype=dtype)
     cfg = CrossEntropyConfig(
         num_samples=10, iter_max=5, mu_init=0.005, sigma_init=0.01,
-        ileqg=ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0))
+        ileqg=ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
+                          fused_candidate_eval=True))
     fleet = make_fleet_runner(make_ratilqr_plan(problem, cfg, 0.05),
                               make_gaussian_simulator(problem), steps,
                               problem.c)
@@ -289,7 +294,8 @@ def bench_models_scaling(batch=2048):
     for tag, (prob, n, m, th_max) in cases.items():
         T = prob.N
         bank = make_batched_solver(prob, ILEQGConfig(
-            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=True))
+            scan_unroll=10, eps_history_cap=0, adaptive_eps_init=True,
+            fused_candidate_eval=True))
         x0 = jnp.zeros(n, dtype)
         u0 = jnp.zeros((T, m), dtype)
         thetas = jnp.linspace(0.0, th_max, batch).astype(dtype)
@@ -315,7 +321,7 @@ def bench_bank_scaling(T=100, batches=(16384, 65536, 131072, 262144)):
     problem = unicycle(N=T, dtype=dtype)
     bank = make_batched_solver(problem, ILEQGConfig(
         iter_max=100, d_tol=1e-2, scan_unroll=10, adaptive_eps_init=True,
-        eps_history_cap=0))
+        eps_history_cap=0, fused_candidate_eval=True))
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
     xm = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)

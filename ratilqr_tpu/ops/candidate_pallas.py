@@ -47,8 +47,8 @@ from ratilqr_tpu.ops.riccati_pallas import (LANE_TILE, LANES, _chol,
                                             _chol_ok_mask, _cho_logdet,
                                             _cho_solve_mat, _cho_solve_vec,
                                             _dot, _from_lanes, _mat, _mmul,
-                                            _mvec, _sym, _t, _to_lanes,
-                                            _use_interpret)
+                                            _mvec, _rinv_diag, _sym, _t,
+                                            _to_lanes, _use_interpret)
 
 Array = jnp.ndarray
 
@@ -135,9 +135,10 @@ def _candidate_kernel(tm, T, n, m, *refs):
         M = _sym(_mat([[Wi_ref[i, j] - theta * S[i, j] for j in range(n)]
                        for i in range(n)]))
         M_chol = _chol(M)
+        rinv_M = _rinv_diag(M_chol)
         m_fail = jnp.where(~_chol_ok_mask(M_chol), 1.0, m_fail)
 
-        MinvS = _cho_solve_mat(M_chol, S)
+        MinvS = _cho_solve_mat(M_chol, S, rinv_M)
         eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
                             jnp.zeros_like(theta)) for j in range(n)]
                  for i in range(n)]
@@ -145,7 +146,7 @@ def _candidate_kernel(tm, T, n, m, *refs):
         DS = _mmul(D, S)
 
         s_new = q + s
-        Minv_svec = _cho_solve_vec(M_chol, s_vec)
+        Minv_svec = _cho_solve_vec(M_chol, s_vec, rinv_M)
         logdet_M = _cho_logdet(M_chol)
         risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
                                  for i in range(n) for j in range(n))

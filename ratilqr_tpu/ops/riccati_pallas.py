@@ -121,28 +121,52 @@ def _chol_ok_mask(L: Array) -> Array:
     return ok
 
 
-def _cho_solve_vec(L: Array, b: Array) -> Array:
+def _rinv_diag(L: Array):
+    """Reciprocals of the Cholesky diagonal, computed ONCE per factor.
+
+    Cuts the per-step divide count ~48 → ~10 at n=3, m=2 (the
+    substitution loops divide by ``L[i, i]`` 2k times per solve column).
+    Measured effect on the kernel: NEUTRAL — a same-process interleaved
+    A/B vs the division form at B=8192, T=100 read 321 vs 326 µs/call
+    (within the ±15 µs round spread), so Mosaic's f32 divide is not a
+    multi-op bottleneck at this mix.  Kept because it is byte-identical
+    in shape, ≤1 ulp in value, and marginally fewer ops; the real floor
+    analysis lives in docs/performance.md "Where the other 40% goes"
+    (benchmarks/dp_roofline_audit.json: the kernel runs at the SUM of
+    its HBM and unit-op VPU bounds — both near their physical limits —
+    with the full−slim byte contrast streaming at 610+ GB/s).
+    """
+    n = L.shape[0]
+    return [1.0 / L[i, i] for i in range(n)]
+
+
+def _cho_solve_vec(L: Array, b: Array, rinv=None) -> Array:
     """M⁻¹ b via forward+back substitution; b is (n, 8, 128)."""
     n = L.shape[0]
+    if rinv is None:
+        rinv = _rinv_diag(L)
     y = [None] * n
     for i in range(n):
         acc = b[i]
         for k in range(i):
             acc = acc - L[i, k] * y[k]
-        y[i] = acc / L[i, i]
+        y[i] = acc * rinv[i]
     x = [None] * n
     for i in reversed(range(n)):
         acc = y[i]
         for k in range(i + 1, n):
             acc = acc - L[k, i] * x[k]
-        x[i] = acc / L[i, i]
+        x[i] = acc * rinv[i]
     return jnp.stack(x, 0)
 
 
-def _cho_solve_mat(L: Array, B: Array) -> Array:
+def _cho_solve_mat(L: Array, B: Array, rinv=None) -> Array:
     """M⁻¹ B column-by-column; B is (n, p, 8, 128)."""
+    if rinv is None:
+        rinv = _rinv_diag(L)
     p = B.shape[1]
-    return jnp.stack([_cho_solve_vec(L, B[:, j]) for j in range(p)], 1)
+    return jnp.stack([_cho_solve_vec(L, B[:, j], rinv) for j in range(p)],
+                     1)
 
 
 def _cho_logdet(L: Array) -> Array:
@@ -231,11 +255,12 @@ def _riccati_kernel(cfg: _Cfg, *refs):
     else:
         M = _sym(Wi_ref[...] - theta[None, None] * S)
     M_chol = _chol(M)
+    rinv_M = _rinv_diag(M_chol)
     m_ok = _chol_ok_mask(M_chol)
     m_fail = jnp.where(~failed & ~m_ok, 1.0, m_fail)
 
     # D = I + θ S' M⁻¹ = I + θ (M⁻¹ S')ᵀ
-    MinvS = _cho_solve_mat(M_chol, S)
+    MinvS = _cho_solve_mat(M_chol, S, rinv_M)
     eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
                         jnp.zeros_like(theta)) for j in range(n)]
              for i in range(n)]
@@ -251,10 +276,11 @@ def _riccati_kernel(cfg: _Cfg, *refs):
 
     if cfg.optimizing:
         H_chol = _chol(H)
+        rinv_H = _rinv_diag(H_chol)
         h_ok = _chol_ok_mask(H_chol)
         h_fail = jnp.where(~failed & ~(m_fail > 0) & ~h_ok, 1.0, h_fail)
-        L = -_cho_solve_mat(H_chol, G)                 # ileqg.jl:379
-        dl = -_cho_solve_vec(H_chol, g)                # ileqg.jl:381
+        L = -_cho_solve_mat(H_chol, G, rinv_H)         # ileqg.jl:379
+        dl = -_cho_solve_vec(H_chol, g, rinv_H)        # ileqg.jl:381
     else:
         L = L_in_ref[...]
         dl = (dl_in_ref[...] if cfg.has_dl
@@ -262,7 +288,7 @@ def _riccati_kernel(cfg: _Cfg, *refs):
 
     Hdl = _mvec(H, dl)
     s_new = q + s + 0.5 * _dot(dl, Hdl) + _dot(dl, g)  # ileqg.jl:383
-    Minv_svec = _cho_solve_vec(M_chol, s_vec)
+    Minv_svec = _cho_solve_vec(M_chol, s_vec, rinv_M)
     logdet_M = _cho_logdet(M_chol)
     if cfg.w_shared:
         risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
@@ -597,9 +623,10 @@ def _riccati_folded_kernel(w_shared: bool, *refs):
     else:
         M = _sym(Wi_ref[...] - theta[None, None] * S)
     M_chol = _chol(M)
+    rinv_M = _rinv_diag(M_chol)
     m_fail = jnp.where(~_chol_ok_mask(M_chol), 1.0, m_fail)
 
-    MinvS = _cho_solve_mat(M_chol, S)
+    MinvS = _cho_solve_mat(M_chol, S, rinv_M)
     eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
                         jnp.zeros_like(theta)) for j in range(n)]
              for i in range(n)]
@@ -607,7 +634,7 @@ def _riccati_folded_kernel(w_shared: bool, *refs):
     DS = _mmul(D, S)
 
     s_new = q + s
-    Minv_svec = _cho_solve_vec(M_chol, s_vec)
+    Minv_svec = _cho_solve_vec(M_chol, s_vec, rinv_M)
     logdet_M = _cho_logdet(M_chol)
     if w_shared:
         risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
