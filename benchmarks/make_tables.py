@@ -99,7 +99,9 @@ def gen_readme_table(res, spread, rounds, dev, roof):
     driver = ", ".join(f"r{n}: {fmt_k(v)}" for n, v in sorted(rounds.items()))
     rows = [
         ("iLEQG solves/s, T=100, warm-started MPC regime, **single "
-         "dispatch** (B=65,536, the measured bank-size knee)",
+         "dispatch** (B=65,536, bench.py's round-comparable bank; the "
+         "round-5 fused kernel moved the knee to ~131k lanes — "
+         "BASELINE.md bank table)",
          f"**{fmt_k(b65)}** (spread {sp65}; driver-recorded bench.py "
          f"runs: {driver})"),
         ("iLEQG solves/s, warm, B=16,384 (fleet-MPC latency budget)",

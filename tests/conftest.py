@@ -116,9 +116,10 @@ def _release_compiled_executables_between_modules():
     references don't pin executables.
     """
     yield
-    from ratilqr_tpu.ops import riccati
+    from ratilqr_tpu.ops import candidate_pallas, riccati
     from ratilqr_tpu.solvers import ileqg, ratilqr
     ileqg.make_batched_solver.cache_clear()
     ratilqr.make_cost_fn.cache_clear()
     riccati._make_core.cache_clear()
+    candidate_pallas._make_candidate_core.cache_clear()
     jax.clear_caches()

@@ -15,6 +15,7 @@ parity is exact up to float associativity.
 """
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -26,6 +27,24 @@ from ratilqr_tpu.solvers import nelder_mead, nelder_mead_jit
 from tests.test_parity_fuzz import _random_problem
 
 N_SCENARIOS = 54  # ≥50; divisible by the 6 depth×refresh combinations
+
+
+@pytest.fixture(autouse=True)
+def _clear_jit_caches_per_scenario():
+    """The XLA:CPU JIT segfaults once a process accumulates too much
+    compiled code (see conftest's module-level mitigation); 54 scenarios
+    × a full NM-jit program each overflows it WITHIN this module
+    (measured: SIGSEGV in backend_compile_and_load after ~11 scenarios).
+    Every scenario uses a fresh random problem, so nothing is shared
+    across tests and per-test clearing costs no recompiles."""
+    yield
+    from ratilqr_tpu.ops import riccati
+    from ratilqr_tpu.solvers import ileqg as ileqg_mod
+    from ratilqr_tpu.solvers import ratilqr as ratilqr_mod
+    ileqg_mod.make_batched_solver.cache_clear()
+    ratilqr_mod.make_cost_fn.cache_clear()
+    riccati._make_core.cache_clear()
+    jax.clear_caches()
 
 
 def _state_close(sj, sh):
