@@ -71,7 +71,8 @@ def _build(entry):
         T = 100
         problem = unicycle(N=T, dtype=dtype)
         cfg = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
-                          adaptive_eps_init=True, eps_history_cap=0)
+                          adaptive_eps_init=True, eps_history_cap=0,
+                          fused_candidate_eval=True)
         bank = make_batched_solver(problem, cfg)
         x0 = jnp.zeros(3, dtype)
         u0 = jnp.zeros((T, 2), dtype)
@@ -80,7 +81,8 @@ def _build(entry):
 
     T = 30
     problem = unicycle(N=T, dtype=dtype)
-    ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0)
+    ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
+                        fused_candidate_eval=True)
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
 
@@ -108,7 +110,7 @@ def _build(entry):
         from ratilqr_tpu.mpc_episode import make_fleet_runner, \
             make_ileqg_plan
         cfg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
-                          adaptive_eps_init=True)
+                          fused_candidate_eval=True)
         fleet = make_fleet_runner(make_ileqg_plan(problem, cfg, 0.0),
                                   make_gaussian_simulator(problem), 15,
                                   problem.c)

@@ -69,6 +69,16 @@ SLOW_TESTS = {
     "test_pallas.py::test_fold_candidate_eval_solver_equivalence",
     "test_parallel.py::test_sharded_theta_bank_masks_nonfinite_lanes",
     "test_candidate_fused.py::test_fused_flag_full_solve_matches",
+    # second re-tier pass (solo fast tier measured 6m12s; these 7-15 s
+    # tests have denser siblings that stay fast):
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[unicycle-3-2]",
+    "test_bilevel.py::test_feasibility_rescaling_shrinks_inits",
+    "test_pallas.py::test_kernel_slim_matches_full_evaluating",
+    "test_parity_oracle.py::test_adaptive_eps_parity",
+    "test_bilevel.py::test_nm_refresh_mode_converges_warm",
+    "test_line_search_chunk.py::test_history_cap_zero_disables_recording_only",
+    "test_utils.py::test_bank_server_matches_individual_solves",
+    "test_failure_paths.py::test_host_nm_bootstrap_budget_terminates",
     "test_line_search_chunk.py::test_chunk_exceeding_trial_budget_respects_cap",
     "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.0-unicycle]",
     "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[True-0.01-unicycle]",
