@@ -158,8 +158,11 @@ def cartpole(N: int = 50, dt: float = 0.05, noise: float = 1e-4,
         return 10.0 * (x[0] ** 2 + x[1] ** 2 + 10.0 * x[2] ** 2
                        + x[3] ** 2)
 
+    from ratilqr_tpu.ops.tile_model import cartpole_tile_model
     return RiskSensitiveProblem(f=f, c=c, h=h,
-                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N,
+                                tile_model=cartpole_tile_model(
+                                    dt, mc, mp, lp, grav))
 
 
 def quadrotor(N: int = 50, dt: float = 0.02, noise: float = 1e-5,

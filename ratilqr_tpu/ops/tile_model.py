@@ -118,6 +118,84 @@ def unicycle_tile_model(dt: float, goal) -> TileModel:
                      term_tile=term_tile)
 
 
+def cartpole_tile_model(dt: float, mc: float, mp: float, lp: float,
+                        grav: float) -> TileModel:
+    """Tile model for :func:`ratilqr_tpu.models.cartpole` (n=4, m=1) —
+    closed-form Jacobians of the φ-from-upright cart-pole dynamics
+    (quotient-rule expansion of ``phi_acc = N(φ)/D(φ)``); equality with
+    ``jax.jacfwd`` of the problem's ``f`` is pinned by
+    ``tests/test_candidate_fused.py``."""
+    M = mc + mp
+    k1 = mp * lp / M
+
+    def f_jac_tile(x, u):
+        pos, vel, phi, om = x[0], x[1], x[2], x[3]
+        force = u[0]
+        s, c = jnp.sin(phi), jnp.cos(phi)
+        one = jnp.ones_like(phi)
+        zero = jnp.zeros_like(phi)
+
+        temp = (force + mp * lp * om * om * s) / M
+        D = lp * (4.0 / 3.0 - mp * c * c / M)
+        N = grav * s - c * temp
+        phi_acc = N / D
+        acc = temp - k1 * phi_acc * c
+        x_next = jnp.stack([pos + dt * vel, vel + dt * acc,
+                            phi + dt * om, om + dt * phi_acc])
+
+        dtemp_dphi = k1 * om * om * c
+        dtemp_dom = 2.0 * k1 * om * s
+        dtemp_dF = one / M
+        dN_dphi = grav * c + s * temp - c * dtemp_dphi
+        dD_dphi = 2.0 * lp * mp * c * s / M
+        dpa_dphi = (dN_dphi * D - N * dD_dphi) / (D * D)
+        dpa_dom = -c * dtemp_dom / D
+        dpa_dF = -c * dtemp_dF / D
+        dacc_dphi = dtemp_dphi - k1 * (dpa_dphi * c - phi_acc * s)
+        dacc_dom = dtemp_dom - k1 * c * dpa_dom
+        dacc_dF = dtemp_dF - k1 * c * dpa_dF
+
+        A = mat([[one, dt * one, zero, zero],
+                 [zero, one, dt * dacc_dphi, dt * dacc_dom],
+                 [zero, zero, one, dt * one],
+                 [zero, zero, dt * dpa_dphi, one + dt * dpa_dom]])
+        B = mat([[zero], [dt * dacc_dF], [zero], [dt * dpa_dF]])
+        return x_next, A, B
+
+    def quad_tile(k, x, u):
+        del k
+        q = 0.1 * (x[0] * x[0] + x[1] * x[1] + 10.0 * x[2] * x[2]
+                   + x[3] * x[3]) + 0.05 * u[0] * u[0]
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = jnp.stack([0.2 * x[0], 0.2 * x[1], 2.0 * x[2],
+                           0.2 * x[3]])
+        Q = mat([[0.2 * one, zero, zero, zero],
+                 [zero, 0.2 * one, zero, zero],
+                 [zero, zero, 2.0 * one, zero],
+                 [zero, zero, zero, 0.2 * one]])
+        r = jnp.stack([0.1 * u[0]])
+        R = mat([[0.1 * one]])
+        P = mat([[zero, zero, zero, zero]])
+        return q, q_vec, Q, r, R, P
+
+    def term_tile(x):
+        q = 10.0 * (x[0] * x[0] + x[1] * x[1] + 10.0 * x[2] * x[2]
+                    + x[3] * x[3])
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = jnp.stack([20.0 * x[0], 20.0 * x[1], 200.0 * x[2],
+                           20.0 * x[3]])
+        Q = mat([[20.0 * one, zero, zero, zero],
+                 [zero, 20.0 * one, zero, zero],
+                 [zero, zero, 200.0 * one, zero],
+                 [zero, zero, zero, 20.0 * one]])
+        return q, q_vec, Q
+
+    return TileModel(f_jac_tile=f_jac_tile, quad_tile=quad_tile,
+                     term_tile=term_tile)
+
+
 def lqr_tile_model() -> TileModel:
     """Tile model for :func:`ratilqr_tpu.models.lqr_problem`
     (``f = x + u``, ``c = 0.5 x·x + u·u``, ``h = 0.5 x·x``)."""

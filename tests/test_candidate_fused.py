@@ -15,7 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ratilqr_tpu.models import lqr_problem, unicycle
+from ratilqr_tpu.models import cartpole, lqr_problem, unicycle
 from ratilqr_tpu.ops import smallmat
 from ratilqr_tpu.ops.approx import approximate_folded, approximate_model
 from ratilqr_tpu.ops.candidate_pallas import candidate_bank
@@ -57,7 +57,8 @@ def _shared_w(prob, dtype):
 
 
 @pytest.mark.parametrize("maker,n,m", [(unicycle, 3, 2),
-                                       (lqr_problem, 2, 2)])
+                                       (lqr_problem, 2, 2),
+                                       (cartpole, 4, 1)])
 def test_candidate_kernel_matches_folded_xla(maker, n, m):
     prob = maker(N=T, dtype=jnp.float32)
     x_refs, ls, Ls, mus, thetas = _bank_inputs(prob, n, m)
@@ -73,18 +74,22 @@ def test_candidate_kernel_matches_folded_xla(maker, n, m):
                                np.asarray(v_ref)[ok], rtol=3e-5)
 
 
-def test_tile_model_derivatives_match_ad():
+@pytest.mark.parametrize("maker,n,m", [(unicycle, 3, 2),
+                                       (lqr_problem, 2, 2),
+                                       (cartpole, 4, 1)])
+def test_tile_model_derivatives_match_ad(maker, n, m):
     """The tile model's closed-form pieces equal AD of the problem
-    callbacks at random points (drift guard for models/examples.py)."""
-    prob = unicycle(N=T, dtype=jnp.float32)
+    callbacks at random points (drift guard for models/examples.py —
+    this is what makes hand-derived Jacobians like the cartpole's safe)."""
+    prob = maker(N=T, dtype=jnp.float32)
     tm = prob.tile_model
     rng = np.random.default_rng(0)
     for _ in range(5):
-        x = jnp.asarray(rng.standard_normal(3), jnp.float32)
-        u = jnp.asarray(rng.standard_normal(2), jnp.float32)
+        x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        u = jnp.asarray(rng.standard_normal(m), jnp.float32)
         # Tile versions: broadcast each component over one (8, 128) tile.
-        xt = jnp.broadcast_to(x[:, None, None], (3, 8, 128))
-        ut = jnp.broadcast_to(u[:, None, None], (2, 8, 128))
+        xt = jnp.broadcast_to(x[:, None, None], (n, 8, 128))
+        ut = jnp.broadcast_to(u[:, None, None], (m, 8, 128))
 
         xn_t, A_t, B_t = tm.f_jac_tile(xt, ut)
         xn = prob.f(x, u)
