@@ -56,7 +56,8 @@ def main():
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
     config = ILEQGConfig(iter_max=100, scan_unroll=10,
-                         adaptive_eps_init=True, eps_history_cap=0)
+                         adaptive_eps_init=True, eps_history_cap=0,
+                         fused_candidate_eval=True)
 
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
@@ -168,7 +169,7 @@ def main():
         return jax.vmap(one)(x0_b, u_b, thetas, feed)
 
     def unit_ls_candidate(x0_b, u_b, ap, feed):
-        # The DEFAULT candidate path (fold_candidate_eval=False).
+        # The pre-round-5 default candidate path (XLA composition).
         def one(x0_, u_, th, f_):
             x, u, A, Bm = rollout_feedback_with_jac(
                 problem, jnp.broadcast_to(x0_ + f_, (T + 1, 3)), u_,
@@ -180,6 +181,18 @@ def main():
             return value
         return jax.vmap(one)(x0_b, u_b, thetas, feed)
 
+    def unit_ls_candidate_fused(x0_b, u_b, ap, feed):
+        # The round-5 fused candidate kernel (bench.py default): the
+        # whole trial as one Mosaic program, feed through the controls.
+        from ratilqr_tpu.ops.candidate_pallas import candidate_value
+        def one(x0_, u_, th, f_):
+            v, fail = candidate_value(
+                problem, jnp.broadcast_to(x0_, (T + 1, 3)),
+                u_ + f_, L_warm, jnp.zeros((), dtype), th,
+                unroll=config.scan_unroll)
+            return v
+        return jax.vmap(one)(x0_b, u_b, thetas, feed)
+
     units = {
         "rollout": unit_rollout,
         "approx": unit_approx,
@@ -187,6 +200,7 @@ def main():
         "dp_evaluate": unit_dp_eval,
         "ls_candidate": unit_ls_candidate,
         "ls_candidate_folded": unit_ls_candidate_folded,
+        "ls_candidate_fused": unit_ls_candidate_fused,
     }
 
     out = {"batch": B, "T": T, "chain": C,
