@@ -97,9 +97,15 @@ def _run():
     # approximation stacks in VMEM (ops/candidate_pallas.py) — measured
     # +30% composed at this bank (626k vs 480k warm solves/s, round-5
     # interleaved A/B; equivalence pinned by tests/test_candidate_fused).
+    # fused_step_optimize: the step-side pipeline (rollout + quadratize +
+    # optimizing DP) fused the same way (ops/step_pallas.py) — measured
+    # +18% composed on top (666k vs 563k, benchmarks/
+    # step_tpu_verification.json; equivalence pinned by
+    # tests/test_step_fused.py, warm values bit-identical on-device).
     config = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
                          adaptive_eps_init=True, eps_history_cap=0,
-                         fused_candidate_eval=True)
+                         fused_candidate_eval=True,
+                         fused_step_optimize=True)
 
     bank = make_batched_solver(problem, config)
     x0 = jnp.zeros(3, dtype)

@@ -72,7 +72,8 @@ def _build(entry):
         problem = unicycle(N=T, dtype=dtype)
         cfg = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
                           adaptive_eps_init=True, eps_history_cap=0,
-                          fused_candidate_eval=True)
+                          fused_candidate_eval=True,
+                          fused_step_optimize=True)
         bank = make_batched_solver(problem, cfg)
         x0 = jnp.zeros(3, dtype)
         u0 = jnp.zeros((T, 2), dtype)

@@ -87,6 +87,16 @@ class ILEQGConfig:
         the folded XLA path (pinned by tests/test_candidate_fused.py).
         Off-TPU, or without a tile model, the flag falls back to the
         folded XLA composition per candidate.
+      fused_step_optimize: run the step-side pipeline — open-loop rollout
+        + quadratization + the policy-OPTIMIZING Riccati pass — as ONE
+        fused Mosaic program (``ops/step_pallas.py``) under the same
+        μ-restart harness.  Motivated by the round-5 iteration audit
+        (docs/performance.md "Where the warm residual actually goes"):
+        ~10 ms of every warm iteration at B=65,536 was the rollout/
+        approximation stacks crossing HBM into the DP custom call.
+        Semantically identical to the default composition (pinned by
+        tests/test_step_fused.py); same tile-model/VMEM/TPU gating and
+        XLA fallback as ``fused_candidate_eval``.
     """
     mu_min: float = 1e-6
     delta_0: float = 2.0
@@ -102,6 +112,7 @@ class ILEQGConfig:
     ls_chunk: int = 1
     fold_candidate_eval: bool = False
     fused_candidate_eval: bool = False
+    fused_step_optimize: bool = False
     verbose: bool = False
 
     def __post_init__(self):

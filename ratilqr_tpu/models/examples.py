@@ -203,8 +203,11 @@ def quadrotor(N: int = 50, dt: float = 0.02, noise: float = 1e-5,
         dx = x - jnp.asarray(g_np, x.dtype)
         return 20.0 * (dx @ dx)
 
+    from ratilqr_tpu.ops.tile_model import quadrotor_tile_model
     return RiskSensitiveProblem(f=f, c=c, h=h,
-                                W=lambda k: jnp.asarray(W_np, dtype), N=N)
+                                W=lambda k: jnp.asarray(W_np, dtype), N=N,
+                                tile_model=quadrotor_tile_model(
+                                    dt, grav, goal))
 
 
 def gmm_integrator(N: int = 10, dtype=jnp.float64) -> GenerativeProblem:

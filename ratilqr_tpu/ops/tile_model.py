@@ -196,6 +196,92 @@ def cartpole_tile_model(dt: float, mc: float, mp: float, lp: float,
                      term_tile=term_tile)
 
 
+def quadrotor_tile_model(dt: float, grav: float, goal) -> TileModel:
+    """Tile model for :func:`ratilqr_tpu.models.quadrotor` (n=12, m=4) —
+    hand-derived Jacobians of the small-angle quadrotor: only the
+    acceleration block (thrust through roll/pitch trig) is nonlinear;
+    everything else is integrator structure.  Equality with AD of the
+    problem's ``f``/``c``/``h`` is pinned by
+    ``tests/test_candidate_fused.py``.
+
+    The 123 MB folded candidate stack puts n=12 far outside the
+    candidate kernel's VMEM budget at T=100, but the fused STEP kernel
+    (``ops/step_pallas.py``) stores only the trajectory and recomputes
+    these formulas per backward step — (12+4)-float residency/step, so
+    the quadrotor rides it at full horizon.
+    """
+    g0, g1, g2 = float(goal[0]), float(goal[1]), float(goal[2])
+    goals = [g0, g1, g2] + [0.0] * 9
+
+    def f_jac_tile(x, u):
+        phi, th = x[6], x[7]
+        one = jnp.ones_like(phi)
+        zero = jnp.zeros_like(phi)
+        sph, cph = jnp.sin(phi), jnp.cos(phi)
+        sth, cth = jnp.sin(th), jnp.cos(th)
+        thrust = grav + u[0]
+
+        acc = [thrust * sth, -thrust * sph * cth,
+               thrust * cph * cth - grav]
+        x_next = jnp.stack([
+            x[0] + dt * x[3], x[1] + dt * x[4], x[2] + dt * x[5],
+            x[3] + dt * acc[0], x[4] + dt * acc[1], x[5] + dt * acc[2],
+            x[6] + dt * x[9], x[7] + dt * x[10], x[8] + dt * x[11],
+            x[9] + dt * 20.0 * u[1], x[10] + dt * 20.0 * u[2],
+            x[11] + dt * 20.0 * u[3]])
+
+        A_rows = [[one if i == j else zero for j in range(12)]
+                  for i in range(12)]
+        for i in range(3):                     # pos ← vel, att ← rate
+            A_rows[i][3 + i] = dt * one
+            A_rows[6 + i][9 + i] = dt * one
+        # ∂acc/∂(φ, θ):  acc = T·(sinθ, −sinφ cosθ, cosφ cosθ) − (0,0,g)
+        A_rows[3][7] = dt * thrust * cth
+        A_rows[4][6] = -dt * thrust * cph * cth
+        A_rows[4][7] = dt * thrust * sph * sth
+        A_rows[5][6] = -dt * thrust * sph * cth
+        A_rows[5][7] = -dt * thrust * cph * sth
+        A = mat(A_rows)
+
+        B_rows = [[zero] * 4 for _ in range(12)]
+        B_rows[3][0] = dt * sth                # ∂acc/∂u₀ = acc dir
+        B_rows[4][0] = -dt * sph * cth
+        B_rows[5][0] = dt * cph * cth
+        for i in range(3):                     # rate ← 20·torque
+            B_rows[9 + i][1 + i] = dt * 20.0 * one
+        B = mat(B_rows)
+        return x_next, A, B
+
+    def quad_tile(k, x, u):
+        del k
+        dx = jnp.stack([x[i] - goals[i] for i in range(12)])
+        q = (0.05 * sum(dx[i] * dx[i] for i in range(12))
+             + 0.1 * sum(u[j] * u[j] for j in range(4)))
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = 0.1 * dx
+        Q = mat([[0.1 * one if i == j else zero for j in range(12)]
+                 for i in range(12)])
+        r = 0.2 * u
+        R = mat([[0.2 * one if i == j else zero for j in range(4)]
+                 for i in range(4)])
+        P = mat([[zero] * 12 for _ in range(4)])
+        return q, q_vec, Q, r, R, P
+
+    def term_tile(x):
+        dx = jnp.stack([x[i] - goals[i] for i in range(12)])
+        q = 20.0 * sum(dx[i] * dx[i] for i in range(12))
+        one = jnp.ones_like(q)
+        zero = jnp.zeros_like(q)
+        q_vec = 40.0 * dx
+        Q = mat([[40.0 * one if i == j else zero for j in range(12)]
+                 for i in range(12)])
+        return q, q_vec, Q
+
+    return TileModel(f_jac_tile=f_jac_tile, quad_tile=quad_tile,
+                     term_tile=term_tile)
+
+
 def lqr_tile_model() -> TileModel:
     """Tile model for :func:`ratilqr_tpu.models.lqr_problem`
     (``f = x + u``, ``c = 0.5 x·x + u·u``, ``h = 0.5 x·x``)."""

@@ -311,13 +311,24 @@ def _step(problem: RiskSensitiveProblem, config: ILEQGConfig, state: _State,
     costs more than recomputing it: warm bank throughput halved,
     30k→15k solves/s).  Keep the recomputes.
     """
-    x, A, B = rollout_open_loop_with_jac(problem, x0, state.l,
-                                         unroll=config.scan_unroll)
-    approx = approximate_model(problem, state.l, x, A, B)
-    _, L_new, dl, mu, delta, fail_opt = dp_optimize(
-        approx, theta=theta, mu=state.mu, delta=state.delta,
-        mu_min=config.mu_min, delta_0=config.delta_0,
-        unroll=config.scan_unroll, slim=True)
+    if config.fused_step_optimize:
+        # Whole step-side pipeline as one Mosaic program on TPU banks
+        # (rollout + quadratize + optimizing DP with the intermediate
+        # stacks in VMEM — ops/step_pallas.py); XLA composition (the
+        # branch below, verbatim) off-TPU or without a tile model.
+        from ratilqr_tpu.ops.step_pallas import step_optimize
+        x, _, L_new, dl, mu, delta, fail_opt = step_optimize(
+            problem, x0, state.l, theta=theta, mu=state.mu,
+            delta=state.delta, mu_min=config.mu_min,
+            delta_0=config.delta_0, unroll=config.scan_unroll)
+    else:
+        x, A, B = rollout_open_loop_with_jac(problem, x0, state.l,
+                                             unroll=config.scan_unroll)
+        approx = approximate_model(problem, state.l, x, A, B)
+        _, L_new, dl, mu, delta, fail_opt = dp_optimize(
+            approx, theta=theta, mu=state.mu, delta=state.delta,
+            mu_min=config.mu_min, delta_0=config.delta_0,
+            unroll=config.scan_unroll, slim=True)
     state = state._replace(L=L_new, mu=mu, delta=delta,
                            iterations=state.iterations + 1,
                            failed=state.failed | fail_opt)

@@ -101,6 +101,14 @@ SLOW_TESTS = {
     "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.0-toy]",
     "test_line_search_chunk.py::test_chunked_ladder_matches_sequential[False-0.01-toy]",
     "test_pallas.py::test_kernel_shared_noise_model_matches_batched",
+    # round-5 fused step kernel (measured 26 s / 13 s; the unicycle/LQR
+    # kernel-vs-XLA and μ-restart tests stay in the fast tier):
+    "test_step_fused.py::test_fused_step_flag_full_solve_matches",
+    "test_step_fused.py::test_step_kernel_matches_xla[cartpole-4-1]",
+    # n=12 fused-kernel interpret runs (~60-90 s each: the unrolled
+    # 12x12 closed-form algebra is big to trace/compile on CPU):
+    "test_step_fused.py::test_step_kernel_matches_xla[quadrotor-12-4]",
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[quadrotor-12-4]",
 }
 
 

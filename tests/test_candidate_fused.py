@@ -15,7 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ratilqr_tpu.models import cartpole, lqr_problem, unicycle
+from ratilqr_tpu.models import cartpole, lqr_problem, quadrotor, unicycle
 from ratilqr_tpu.ops import smallmat
 from ratilqr_tpu.ops.approx import approximate_folded, approximate_model
 from ratilqr_tpu.ops.candidate_pallas import candidate_bank
@@ -58,7 +58,8 @@ def _shared_w(prob, dtype):
 
 @pytest.mark.parametrize("maker,n,m", [(unicycle, 3, 2),
                                        (lqr_problem, 2, 2),
-                                       (cartpole, 4, 1)])
+                                       (cartpole, 4, 1),
+                                       (quadrotor, 12, 4)])
 def test_candidate_kernel_matches_folded_xla(maker, n, m):
     prob = maker(N=T, dtype=jnp.float32)
     x_refs, ls, Ls, mus, thetas = _bank_inputs(prob, n, m)
@@ -76,7 +77,8 @@ def test_candidate_kernel_matches_folded_xla(maker, n, m):
 
 @pytest.mark.parametrize("maker,n,m", [(unicycle, 3, 2),
                                        (lqr_problem, 2, 2),
-                                       (cartpole, 4, 1)])
+                                       (cartpole, 4, 1),
+                                       (quadrotor, 12, 4)])
 def test_tile_model_derivatives_match_ad(maker, n, m):
     """The tile model's closed-form pieces equal AD of the problem
     callbacks at random points (drift guard for models/examples.py —
