@@ -49,8 +49,12 @@ K_LO, K_HI = 8, 40
 def main():
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
+    # Both round-5 fused kernels on — the same inner-solver config the
+    # headline bench runs (the NM/CE banks are small, but the fused
+    # programs collapse the per-iteration XLA stage chain, which is what
+    # latency-bound small banks pay for).
     ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
-                        fused_candidate_eval=True)
+                        fused_candidate_eval=True, fused_step_optimize=True)
     sim = make_gaussian_simulator(problem)
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)

@@ -60,6 +60,19 @@ def fits_vmem(n: int, T: int) -> bool:
     return (1 + n + 2 * n * n) * T * LANES * 4 <= budget
 
 
+def fits_vmem_recompute(n: int, m: int, T: int) -> bool:
+    """Whether the RECOMPUTE variant fits: only the candidate trajectory
+    ``(T+1)·n`` is stored; the backward phase re-derives the folded
+    blocks from ``(x_t, x̄_t, l_t, L_t)`` per step (same trick as
+    ``step_pallas`` — extends the kernel to models/horizons whose folded
+    stack busts VMEM, e.g. the n=12 quadrotor or unicycle T≫100).
+    Slack term covers the windowed input/carry blocks."""
+    budget = int(os.environ.get("RATILQR_CANDIDATE_VMEM_BYTES",
+                                str(10 * 1024 * 1024)))
+    per_lane = (T + 1) * n + 4 * (m * n + m + n * n + n)
+    return per_lane * LANES * 4 <= budget
+
+
 class CandidateOut(NamedTuple):
     value: Array   # (B,)  candidate cost-to-go at the initial time
     m_fail: Array  # (B,)  neurotic-breakdown flag (non-PSD M)
@@ -168,9 +181,106 @@ def _candidate_kernel(tm, T, n, m, *refs):
         mfail_sc[...] = m_fail
 
 
+def _candidate_kernel_recompute(tm, T, n, m, *refs):
+    """RECOMPUTE variant: only the candidate trajectory is stored in VMEM;
+    the backward phase re-derives (u, A, B, quad, fold) from
+    ``(x_t, x̄_t, l_t, L_t)`` per step.  Same algebra as
+    :func:`_candidate_kernel` — the folded blocks are recomputed
+    bit-identically (same formulas, same inputs) instead of read back."""
+    (xref_ref, lcand_ref, Lg_ref, W_ref, Wi_ref, ldW_ref, theta_ref,
+     mu_ref, val_ref, mfail_ref, x_sc, S_sc, svec_sc, s_sc,
+     mfail_sc) = refs
+
+    ti = pl.program_id(1)
+    theta = theta_ref[...]
+    mu = mu_ref[...]
+
+    @pl.when(ti == 0)
+    def _init():
+        x_sc[0] = xref_ref[...]
+        mfail_sc[...] = jnp.zeros_like(mfail_sc)
+
+    def folded_blocks(t):
+        """(u, fold) at time t from the stored x and re-walked inputs."""
+        x = x_sc[t]
+        xbar = xref_ref[...]
+        lc = lcand_ref[...]
+        Lg = Lg_ref[...]
+        u = lc + _mvec(Lg, x - xbar)
+        x_next, A, B = tm.f_jac_tile(x, u)
+        q, q_vec, Q, r, R, P = tm.quad_tile(t, x, u)
+        Lt = _t(Lg)
+        qv_f = q_vec + _mvec(Lt, r)
+        LtP = _mmul(Lt, P)
+        Q_f = _sym(Q + LtP + _t(LtP) + _mmul(Lt, _mmul(R, Lg))
+                   + mu[None, None] * _mmul(Lt, Lg))
+        A_f = A + _mmul(B, Lg)
+        return x_next, q, qv_f, Q_f, A_f
+
+    @pl.when(ti < T)
+    def _forward():
+        x_next, _, _, _, _ = folded_blocks(ti)
+        x_sc[ti + 1] = x_next
+
+        @pl.when(ti == T - 1)
+        def _terminal():
+            qT, qvT, QT = tm.term_tile(x_next)
+            s_sc[...] = qT
+            svec_sc[...] = qvT
+            S_sc[...] = QT
+
+    @pl.when(ti >= T)
+    def _backward():
+        t = 2 * T - 1 - ti
+        _, q, q_vec, Q, A = folded_blocks(t)
+
+        theta_is_zero = theta == 0.0
+        theta_safe = jnp.where(theta_is_zero, jnp.ones_like(theta), theta)
+        S = S_sc[...]
+        s_vec = svec_sc[...]
+        s = s_sc[...]
+        m_fail = mfail_sc[...]
+
+        M = _sym(_mat([[Wi_ref[i, j] - theta * S[i, j] for j in range(n)]
+                       for i in range(n)]))
+        M_chol = _chol(M)
+        rinv_M = _rinv_diag(M_chol)
+        m_fail = jnp.where(~_chol_ok_mask(M_chol), 1.0, m_fail)
+
+        MinvS = _cho_solve_mat(M_chol, S, rinv_M)
+        eye_b = [[jnp.where(jnp.bool_(i == j), jnp.ones_like(theta),
+                            jnp.zeros_like(theta)) for j in range(n)]
+                 for i in range(n)]
+        D = _mat(eye_b) + theta[None, None] * _t(MinvS)
+        DS = _mmul(D, S)
+
+        s_new = q + s
+        Minv_svec = _cho_solve_vec(M_chol, s_vec, rinv_M)
+        logdet_M = _cho_logdet(M_chol)
+        risk_neutral = 0.5 * sum(W_ref[i, j] * S[j, i]
+                                 for i in range(n) for j in range(n))
+        logdet_W = ldW_ref[0, 0]
+        risk_sensitive = (0.5 * theta * _dot(s_vec, Minv_svec)
+                          - (logdet_W + logdet_M) / (2.0 * theta_safe))
+        s_new = s_new + jnp.where(theta_is_zero, risk_neutral,
+                                  risk_sensitive)
+
+        At = _t(A)
+        s_vec_new = q_vec + _mvec(At, _mvec(D, s_vec))
+        S_new = _sym(Q + _mmul(_mmul(At, DS), A))
+
+        val_ref[...] = s_new
+        mfail_ref[...] = m_fail
+        S_sc[...] = S_new
+        svec_sc[...] = s_vec_new
+        s_sc[...] = s_new
+        mfail_sc[...] = m_fail
+
+
 def candidate_bank(tile_model, x_ref_b: Array, l_cand_b: Array,
                    L_b: Array, mu_b: Array, theta_b: Array,
-                   W: Array, W_inv: Array, logdet_W: Array) -> CandidateOut:
+                   W: Array, W_inv: Array, logdet_W: Array, *,
+                   recompute: bool = False) -> CandidateOut:
     """Run the fused candidate evaluation for a whole bank.
 
     Args:
@@ -207,6 +317,16 @@ def candidate_bank(tile_model, x_ref_b: Array, l_cand_b: Array,
             return (jnp.minimum(ti, T - 1),) + (0,) * len(dims) + (bi, 0, 0)
         return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
 
+    def both_spec(*dims):
+        """Windowed per-lane input walked forward then BACKWARD (the
+        recompute variant re-fetches the model inputs on the way back)."""
+        blk = (None,) + dims + (None, S8, L8)
+
+        def imap(bi, ti):
+            t = jnp.where(ti < T, ti, T2 - 1 - ti)
+            return (t,) + (0,) * len(dims) + (bi, 0, 0)
+        return pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)
+
     def lane_spec(*dims):
         blk = dims + (None, S8, L8)
 
@@ -224,12 +344,13 @@ def candidate_bank(tile_model, x_ref_b: Array, l_cand_b: Array,
                     + (0,) * len(dims))
         return pl.BlockSpec(blk, imap, memory_space=pltpu.SMEM)
 
+    traj_spec = both_spec if recompute else fwd_spec
     inputs = [prep(x_ref_b), prep(l_cand_b), prep(L_b),
               jnp.asarray(W, dtype), jnp.asarray(W_inv, dtype),
               jnp.asarray(logdet_W, dtype).reshape(T, 1, 1),
               _to_lanes(theta_b.astype(dtype)[:, None], B_pad)[0],
               _to_lanes(mu_b.astype(dtype)[:, None], B_pad)[0]]
-    in_specs = [fwd_spec(n), fwd_spec(m), fwd_spec(m, n),
+    in_specs = [traj_spec(n), traj_spec(m), traj_spec(m, n),
                 w_spec(n, n), w_spec(n, n), w_spec(1, 1),
                 lane_spec(), lane_spec()]
 
@@ -239,20 +360,32 @@ def candidate_bank(tile_model, x_ref_b: Array, l_cand_b: Array,
     )
     out_specs = (lane_spec(), lane_spec())
 
-    scratch = [
-        pltpu.VMEM((n, S8, L8), dtype),          # x rollout carry
-        pltpu.VMEM((T, S8, L8), dtype),          # folded q stack
-        pltpu.VMEM((T, n, S8, L8), dtype),       # folded q̄_vec stack
-        pltpu.VMEM((T, n, n, S8, L8), dtype),    # folded Q̄ stack
-        pltpu.VMEM((T, n, n, S8, L8), dtype),    # folded Ā stack
-        pltpu.VMEM((n, n, S8, L8), dtype),       # S carry
-        pltpu.VMEM((n, S8, L8), dtype),          # s_vec carry
-        pltpu.VMEM((S8, L8), dtype),             # s carry
-        pltpu.VMEM((S8, L8), dtype),             # m_fail mask
-    ]
+    if recompute:
+        scratch = [
+            pltpu.VMEM((T + 1, n, S8, L8), dtype),   # candidate trajectory
+            pltpu.VMEM((n, n, S8, L8), dtype),       # S carry
+            pltpu.VMEM((n, S8, L8), dtype),          # s_vec carry
+            pltpu.VMEM((S8, L8), dtype),             # s carry
+            pltpu.VMEM((S8, L8), dtype),             # m_fail mask
+        ]
+        kern = functools.partial(_candidate_kernel_recompute, tile_model,
+                                 T, n, m)
+    else:
+        scratch = [
+            pltpu.VMEM((n, S8, L8), dtype),          # x rollout carry
+            pltpu.VMEM((T, S8, L8), dtype),          # folded q stack
+            pltpu.VMEM((T, n, S8, L8), dtype),       # folded q̄_vec stack
+            pltpu.VMEM((T, n, n, S8, L8), dtype),    # folded Q̄ stack
+            pltpu.VMEM((T, n, n, S8, L8), dtype),    # folded Ā stack
+            pltpu.VMEM((n, n, S8, L8), dtype),       # S carry
+            pltpu.VMEM((n, S8, L8), dtype),          # s_vec carry
+            pltpu.VMEM((S8, L8), dtype),             # s carry
+            pltpu.VMEM((S8, L8), dtype),             # m_fail mask
+        ]
+        kern = functools.partial(_candidate_kernel, tile_model, T, n, m)
 
     call = pl.pallas_call(
-        functools.partial(_candidate_kernel, tile_model, T, n, m),
+        kern,
         grid=(tiles, T2),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -302,16 +435,25 @@ def _make_candidate_core(problem, unroll: int):
         axis_size = theta.shape[0]
         T = l_cand.shape[1]
         n = x_ref.shape[-1]
+        m = l_cand.shape[-1]
         dtype = x_ref.dtype
-        if (tm is not None and fits_vmem(n, T)
+        stored_ok = fits_vmem(n, T)
+        rec_ok = fits_vmem_recompute(n, m, T)
+        if (tm is not None and (stored_ok or rec_ok)
                 and _pallas_eligible(axis_size, dtype)):
+            # Stored folded stack when it fits (measured fastest at the
+            # unicycle fixture); the recompute variant extends coverage to
+            # models/horizons whose stack busts VMEM (n=12, T≫100).
+            # RATILQR_CANDIDATE_RECOMPUTE=1 forces recompute (A/B, tests).
+            rec = ((not stored_ok) or os.environ.get(
+                "RATILQR_CANDIDATE_RECOMPUTE") == "1")
             ks = jnp.arange(T)
             Wm = jax.vmap(problem.W)(ks).astype(dtype)
             W_chol = smallmat.cholesky(Wm)
             W_inv = smallmat.cho_inverse(W_chol)
             logdet_W = smallmat.cho_logdet(W_chol)
             out = candidate_bank(tm, x_ref, l_cand, Lg, mu, theta,
-                                 Wm, W_inv, logdet_W)
+                                 Wm, W_inv, logdet_W, recompute=rec)
             return out.value, out.m_fail
         return jax.vmap(core)(x_ref, l_cand, Lg, mu, theta)
 

@@ -71,7 +71,8 @@ SLOW_TESTS = {
     "test_candidate_fused.py::test_fused_flag_full_solve_matches",
     # second re-tier pass (solo fast tier measured 6m12s; these 7-15 s
     # tests have denser siblings that stay fast):
-    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[unicycle-3-2]",
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[unicycle-3-2-False]",
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[unicycle-3-2-True]",
     "test_bilevel.py::test_feasibility_rescaling_shrinks_inits",
     "test_pallas.py::test_kernel_slim_matches_full_evaluating",
     "test_parity_oracle.py::test_adaptive_eps_parity",
@@ -108,7 +109,8 @@ SLOW_TESTS = {
     # n=12 fused-kernel interpret runs (~60-90 s each: the unrolled
     # 12x12 closed-form algebra is big to trace/compile on CPU):
     "test_step_fused.py::test_step_kernel_matches_xla[quadrotor-12-4]",
-    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[quadrotor-12-4]",
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[quadrotor-12-4-False]",
+    "test_candidate_fused.py::test_candidate_kernel_matches_folded_xla[quadrotor-12-4-True]",
 }
 
 

@@ -56,17 +56,22 @@ def _shared_w(prob, dtype):
     return Wm, smallmat.cho_inverse(chol), smallmat.cho_logdet(chol)
 
 
+@pytest.mark.parametrize("recompute", [False, True])
 @pytest.mark.parametrize("maker,n,m", [(unicycle, 3, 2),
                                        (lqr_problem, 2, 2),
                                        (cartpole, 4, 1),
                                        (quadrotor, 12, 4)])
-def test_candidate_kernel_matches_folded_xla(maker, n, m):
+def test_candidate_kernel_matches_folded_xla(maker, n, m, recompute):
+    """Both kernel variants: the stored-folded-stack default and the
+    round-5 RECOMPUTE variant (trajectory-only VMEM residency, folded
+    blocks re-derived per backward step — the dispatch for models/
+    horizons whose folded stack busts VMEM)."""
     prob = maker(N=T, dtype=jnp.float32)
     x_refs, ls, Ls, mus, thetas = _bank_inputs(prob, n, m)
     v_ref, f_ref = _xla_reference(prob, x_refs, ls, Ls, mus, thetas)
     W, W_inv, logdet_W = _shared_w(prob, jnp.float32)
     out = candidate_bank(prob.tile_model, x_refs, ls, Ls, mus, thetas,
-                         W, W_inv, logdet_W)
+                         W, W_inv, logdet_W, recompute=recompute)
     np.testing.assert_array_equal(np.asarray(out.m_fail),
                                   np.asarray(f_ref))
     ok = ~np.asarray(f_ref)
