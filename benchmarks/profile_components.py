@@ -57,7 +57,8 @@ def main():
     problem = unicycle(N=T, dtype=dtype)
     config = ILEQGConfig(iter_max=100, scan_unroll=10,
                          adaptive_eps_init=True, eps_history_cap=0,
-                         fused_candidate_eval=True)
+                         fused_candidate_eval=True,
+                         fused_step_optimize=True)
 
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
@@ -193,6 +194,24 @@ def main():
             return v
         return jax.vmap(one)(x0_b, u_b, thetas, feed)
 
+    def unit_step_fused(x0_b, u_b, ap, feed):
+        # The round-5 fused STEP kernel (rollout + quadratize +
+        # optimizing DP as one Mosaic program, ops/step_pallas.py) —
+        # replaces the rollout + approx + dp_optimize trio AND their
+        # stage-boundary HBM materialization (the audit's ~10 ms/iter).
+        from ratilqr_tpu.ops.step_pallas import step_optimize
+        def one(x0_, u_, th, f_):
+            x, value, L, dl, mu, delta, failed = step_optimize(
+                problem, x0_, u_ + f_, theta=th,
+                mu=jnp.zeros((), dtype),
+                delta=jnp.asarray(config.delta_0, dtype),
+                mu_min=config.mu_min, delta_0=config.delta_0,
+                unroll=config.scan_unroll)
+            # Consume every output (anti-DCE, see unit_rollout).
+            return (value + jnp.sum(x) + jnp.sum(L) + jnp.sum(dl)
+                    + mu + delta + failed.astype(dtype))
+        return jax.vmap(one)(x0_b, u_b, thetas, feed)
+
     units = {
         "rollout": unit_rollout,
         "approx": unit_approx,
@@ -201,6 +220,7 @@ def main():
         "ls_candidate": unit_ls_candidate,
         "ls_candidate_folded": unit_ls_candidate_folded,
         "ls_candidate_fused": unit_ls_candidate_fused,
+        "step_fused": unit_step_fused,
     }
 
     out = {"batch": B, "T": T, "chain": C,
