@@ -48,15 +48,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=65536)
     ap.add_argument("--T", type=int, default=100)
-    ap.add_argument("--json", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "iteration_audit.json"))
+    ap.add_argument("--fused-step", action="store_true",
+                    help="audit the fused-step config instead (writes "
+                         "iteration_audit_fused.json by default): the "
+                         "post-kernel marginal, for contrast with the "
+                         "pre-kernel artifact that motivated it")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
+    if args.json is None:
+        name = ("iteration_audit_fused.json" if args.fused_step
+                else "iteration_audit.json")
+        args.json = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), name)
 
     B, T = args.batch, args.T
     dtype = jnp.float32
     problem = unicycle(N=T, dtype=dtype)
     base = dict(scan_unroll=10, adaptive_eps_init=True, eps_history_cap=0,
-                fused_candidate_eval=True)
+                fused_candidate_eval=True,
+                fused_step_optimize=args.fused_step)
 
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
