@@ -79,12 +79,15 @@ def _run():
     dtype = jnp.float32
     T = 100
     # One ~27 ms tunnel round trip per dispatch dominates small banks
-    # (marginal device cost is ~1.9 µs/solve warm).  B=65,536 is the
-    # measured throughput knee of the B-scaling curve (BASELINE.md):
-    # larger banks LOSE throughput to the linear-in-B while-carry select
-    # sweeps (464k at 128k lanes, 432k at 256k).  For a latency-constrained
-    # fleet-MPC cycle use B=16,384 (~51 ms/re-plan, ~320k solves/s).
-    batch = int(os.environ.get("BENCH_BATCH", "65536"))
+    # (marginal device cost is ~1.2 µs/solve warm).  The knee of the
+    # B-scaling curve MOVED after the round-5 fused kernels: the old
+    # B≥131k regression (linear-in-B while-carry select sweeps over the
+    # rollout/approximation stacks — 464k at 128k lanes, 432k at 256k)
+    # died with the stacks themselves, and an interleaved same-process
+    # sweep now reads 743k / 742k / 795-805k / 727k at 65k / 131k /
+    # 262k / 524k lanes — B=262,144 is the new knee.  For a
+    # latency-constrained fleet-MPC cycle use B=16,384.
+    batch = int(os.environ.get("BENCH_BATCH", "262144"))
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "1"))
     problem = unicycle(N=T, dtype=dtype)
     # Reference iteration budget (ileqg.jl:192) + adaptive ε warm start

@@ -31,7 +31,7 @@ from ratilqr_tpu import ILEQGConfig
 from ratilqr_tpu.models import unicycle
 from ratilqr_tpu.solvers.ileqg import make_batched_solver
 
-BATCHES = (16384, 65536, 131072, 262144)
+BATCHES = (16384, 65536, 131072, 262144, 524288)
 T = 100
 
 
@@ -55,7 +55,8 @@ def main(n_reps=3):
     problem = unicycle(N=T, dtype=dtype)
     config = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
                          adaptive_eps_init=True, eps_history_cap=0,
-                         fused_candidate_eval=True)
+                         fused_candidate_eval=True,
+                         fused_step_optimize=True)
     bank = make_batched_solver(problem, config)
     x0 = jnp.zeros(3, dtype)
     x_mpc = x0 + jnp.asarray([0.05, -0.03, 0.01], dtype)

@@ -67,7 +67,8 @@ def _build(entry):
     dtype = jnp.float32
 
     if entry == "headline_bank":
-        # bench.py's exact configuration (B=65,536, T=100).
+        # bench.py's exact configuration (B=262,144 — the round-5
+        # knee bank — T=100, both fused kernels).
         T = 100
         problem = unicycle(N=T, dtype=dtype)
         cfg = ILEQGConfig(iter_max=100, d_tol=1e-2, scan_unroll=10,
@@ -77,13 +78,13 @@ def _build(entry):
         bank = make_batched_solver(problem, cfg)
         x0 = jnp.zeros(3, dtype)
         u0 = jnp.zeros((T, 2), dtype)
-        thetas = jnp.linspace(0.0, 0.02, 65536).astype(dtype)
+        thetas = jnp.linspace(0.0, 0.02, 262144).astype(dtype)
         return lambda: bank(x0, u0, thetas).value
 
     T = 30
     problem = unicycle(N=T, dtype=dtype)
     ileqg = ILEQGConfig(iter_max=30, scan_unroll=10, eps_history_cap=0,
-                        fused_candidate_eval=True)
+                        fused_candidate_eval=True, fused_step_optimize=True)
     x0 = jnp.zeros(3, dtype)
     u0 = jnp.zeros((T, 2), dtype)
 

@@ -94,15 +94,18 @@ def committed_rounds(readme_text):
 
 def gen_readme_table(res, spread, rounds, dev, roof):
     cells = spread["cells"] if spread else {}
-    b65 = res["ileqg_warm_B65536_solves_per_s"]
-    sp65 = spread_str(cells, 65536)
+    c262 = cells.get("262144")
+    head = (c262["solves_per_s_median"] if c262
+            else res["ileqg_warm_B65536_solves_per_s"])
+    sp_head = (spread_str(cells, 262144) if c262
+               else spread_str(cells, 65536))
     driver = ", ".join(f"r{n}: {fmt_k(v)}" for n, v in sorted(rounds.items()))
     rows = [
         ("iLEQG solves/s, T=100, warm-started MPC regime, **single "
-         "dispatch** (B=65,536, bench.py's round-comparable bank; the "
-         "round-5 fused kernel moved the knee to ~131k lanes — "
+         "dispatch** (B=262,144, bench.py's knee bank since the round-5 "
+         "fused kernels; driver rounds ≤4 recorded at B=65,536 — "
          "BASELINE.md bank table)",
-         f"**{fmt_k(b65)}** (spread {sp65}; driver-recorded bench.py "
+         f"**{fmt_k(head)}** (spread {sp_head}; driver-recorded bench.py "
          f"runs: {driver})"),
         ("iLEQG solves/s, warm, B=16,384 (fleet-MPC latency budget)",
          f"{fmt_k(res['ileqg_warm_B16384_solves_per_s'])}"
@@ -173,12 +176,15 @@ def gen_bank_table(res, spread):
         f"| 2,048 | {fmt_k(res['ileqg_warm_adaptive_solves_per_s'])} | "
         f"single sample ({latency[2048]:.0f} ms bank latency) |",
     ]
-    for b in (16384, 65536, 131072, 262144):
+    sizes = ((16384, 65536, 131072, 262144, 524288)
+             if "524288" in cells else (16384, 65536, 131072, 262144))
+    default_b = 262144 if "524288" in cells else 65536
+    for b in sizes:
         c = cells.get(str(b))
         med = (fmt_k(c["solves_per_s_median"]) if c
                else fmt_k(res[f"ileqg_warm_B{b}_solves_per_s"]))
-        tag = " (bench.py default)" if b == 65536 else ""
-        bold = "**" if b == 65536 else ""
+        tag = " (bench.py default)" if b == default_b else ""
+        bold = "**" if b == default_b else ""
         sp = (f"{fmt_k(c['solves_per_s_min'])}–"
               f"{fmt_k(c['solves_per_s_max'])} (n={c['n_reps']})"
               if c else "single sample")
